@@ -1,0 +1,122 @@
+"""Property-style parity: the Catalyst heuristic stages must agree
+cell-for-cell with the pure-Python oracle transcribed from the Rust
+reference (SURVEY.md §5 / §7 "hard parts" #1).
+
+Covers the documented divergence traps: bytes-vs-codepoints
+(multibyte lines), > vs >= boundaries at exactly 99/100/101
+codepoints, float->int truncation, \r\n handling, trailing newlines,
+empty docs.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ungoliant_spark import oracle
+from ungoliant_spark.operators.annotators import apply_annotators
+from ungoliant_spark.operators.pfilter import apply_pfilter
+from ungoliant_spark.operators.scrub import apply_scrub
+from ungoliant_spark.operators.trim import apply_trim
+
+LONG = "x" * 101  # keep boundary is chars > 100
+EXACT100 = "y" * 100  # short for Length, upper bucket for PFilter
+SHORT = "short line"
+MULTIBYTE_99 = "é" * 99  # 99 codepoints / 198 bytes: short for Length,
+#                           but NOT header-short (bytes >= 100)
+MULTIBYTE_101 = "ü" * 101
+NOISY_LINE = "!@#$%^&*()" * 15
+MALAYALAM = "മലയാളം" * 30  # letters+combining marks → not noisy
+
+CASES = [
+    "",
+    "\n",
+    "\r\n",
+    SHORT,
+    LONG,
+    EXACT100,
+    LONG + "\n",
+    f"{SHORT}\n{LONG}\n{SHORT}",
+    f"{SHORT}\n{SHORT}\n{SHORT}",
+    f"{LONG}\n{SHORT}\n{LONG}",
+    f"{LONG}\r\n{SHORT}\r\n{LONG}\r\n",
+    f"{EXACT100}\n{LONG}\n{EXACT100}",
+    f"{MULTIBYTE_99}\n{LONG}\n{MULTIBYTE_99}",
+    f"{MULTIBYTE_101}\n{SHORT}\n{MULTIBYTE_101}",
+    f"{NOISY_LINE}\n{LONG}\n{NOISY_LINE}",
+    f"{MALAYALAM}\n{MALAYALAM}",
+    "\n".join([LONG] * 12),
+    "\n".join([SHORT] * 12 + [LONG] * 3),
+    "\n".join([LONG] * 3 + [SHORT] * 12),
+    "\n".join([SHORT, LONG, SHORT, LONG, SHORT]),
+    f"{LONG}\n" + "\n".join([SHORT] * 9) + f"\n{LONG}",
+    NOISY_LINE + "\n" + NOISY_LINE * 12,
+    "a\n\nb\n\n" + LONG,
+    "Write to john.doe+x@example.co.uk or 10.0.0.1 now " + LONG,
+    "Call +33 6 12 34 56 78 or (555) 123-4567. " + LONG,
+]
+
+
+def _random_cases(n=200, seed=42):
+    rng = random.Random(seed)
+    pieces = [SHORT, LONG, EXACT100, MULTIBYTE_99, NOISY_LINE, "", "a", "é" * 50]
+    out = []
+    for _ in range(n):
+        k = rng.randint(1, 14)
+        body = "\n".join(rng.choice(pieces) for _ in range(k))
+        if rng.random() < 0.3:
+            body += "\n"
+        out.append(body)
+    return out
+
+
+ALL = CASES + _random_cases()
+
+
+@pytest.fixture(scope="module")
+def result_rows(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ALL)], "id long, transcript string"
+    )
+    df = apply_trim(df)
+    df = apply_pfilter(df)
+    df = apply_annotators(df)
+    df = apply_scrub(df)
+    rows = {r["id"]: r for r in df.collect()}
+    return rows
+
+
+def test_parity(result_rows):
+    for i, text in enumerate(ALL):
+        exp = oracle.heuristic_pipeline(text)
+        got = result_rows[i]
+        assert got["trim_keep"] == exp.trim_keep, (i, repr(text[:80]))
+        assert got["line_start"] == exp.line_start, (i, repr(text[:80]))
+        assert got["line_end"] == exp.line_end, (i, repr(text[:80]))
+        assert got["content"] == exp.content, (i, repr(text[:80]))
+        if exp.trim_keep:
+            assert got["pfilter_keep"] == exp.pfilter_keep, (i, repr(text[:80]))
+            if exp.pfilter_keep:
+                assert (
+                    list(got["quality_warnings"]) == exp.quality_warnings
+                ), (i, repr(text[:80]))
+                assert got["annotation_keep"] == exp.annotation_keep
+                assert got["scrubbed"] == oracle.scrub(exp.content)
+
+
+def test_scrub_examples(spark):
+    cases = [
+        ("mail a@b.io now", "mail <EMAIL> now"),
+        ("ip 192.168.0.255 end", "ip <IP> end"),
+        ("v6 2001:0db8:85a3:0000:0000:8a2e:0370:7334 end", "v6 <IP> end"),
+        ("call (555) 123-4567 end", "call <PHONE> end"),
+        ("call +33 6 12 34 56 78 end", "call <PHONE> end"),
+        ("no pii here 12 34", "no pii here 12 34"),
+    ]
+    df = spark.createDataFrame(cases, "content string, expected string")
+    out = apply_scrub(df).collect()
+    for r in out:
+        assert r["scrubbed"] == r["expected"], r["content"]
+        assert oracle.scrub(r["content"]) == r["expected"]
