@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship heuristic quality-filter query on sf0.001.
+queries()     — one entry per implemented operator (SURVEY.md §2).
+oracle_sql()  — DuckDB twins for the SQL-expressible ones.
 """
 
 from __future__ import annotations
@@ -13,26 +11,32 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ungoliant_spark import oracle_sql as osql
+from ungoliant_spark.plans import document_queries as dq
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: heuristic keep/drop + PII scrub over sf0.001."""
+    return dq.q_heuristic_keep(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "trim_bounds": dq.q_trim_bounds,
+        "pfilter": dq.q_pfilter,
+        "quality_annotations": dq.q_quality_annotations,
+        "heuristic_keep": dq.q_heuristic_keep,
+        "pii_scrub": dq.q_pii_scrub,
+        "keep_stats": dq.q_keep_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "trim_bounds": osql.oracle_trim_bounds(),
+        "pfilter": osql.oracle_pfilter(),
+        "quality_annotations": osql.oracle_quality_annotations(),
+        "heuristic_keep": osql.oracle_heuristic_keep(),
+        "pii_scrub": osql.oracle_pii_scrub(),
+        "keep_stats": osql.oracle_keep_stats(),
+    }

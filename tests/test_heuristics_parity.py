@@ -54,6 +54,9 @@ CASES = [
     f"{LONG}\n" + "\n".join([SHORT] * 9) + f"\n{LONG}",
     NOISY_LINE + "\n" + NOISY_LINE * 12,
     "a\n\nb\n\n" + LONG,
+    "a\n\n",  # Java '$'-before-final-newline trap: must keep ["a", ""]
+    LONG + "\n\n",
+    f"{LONG}\n\n{LONG}\n\n",
     "Write to john.doe+x@example.co.uk or 10.0.0.1 now " + LONG,
     "Call +33 6 12 34 56 78 or (555) 123-4567. " + LONG,
 ]

@@ -26,11 +26,17 @@ from pyspark.sql import functions as F
 
 def rust_lines(text: Column) -> Column:
     """array<string> of lines per Rust ``str::lines()`` semantics."""
-    # strip at most one trailing '\n' so the final empty slice is not produced
-    stripped = F.regexp_replace(text, "\n$", "")
+    # strip at most one trailing '\n' so the final empty slice is not
+    # produced. NOT regexp '\n$': Java's $ also matches before a final
+    # line terminator, so "a\n\n" would lose BOTH newlines.
+    stripped = F.when(
+        text.endswith("\n"), F.substring(text, 1, F.length(text) - 1)
+    ).otherwise(text)
     arr = F.transform(
-        F.split(stripped, "\n"),
-        lambda x: F.regexp_replace(x, "\r$", ""),
+        F.split(stripped, "\n", -1),
+        lambda x: F.when(
+            x.endswith("\r"), F.substring(x, 1, F.length(x) - 1)
+        ).otherwise(x),
     )
     # "" must give zero lines (split("") gives [""])
     return F.when(text == F.lit(""), F.array().cast("array<string>")).otherwise(arr)
