@@ -1,0 +1,93 @@
+"""LID stage: Spark UDF output must equal direct per-row identify_doc
+calls (batch/row parity), and the decision semantics must match the
+reference rules (threshold 0.8, DOC_THRESHOLD 0.6, StrictMultilingual,
+'\\0' stripping, multi label)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ungoliant_spark.langdata import GIBBERISH_LABEL, sentence_of_min_chars
+from ungoliant_spark.operators.lid import apply_lid, identify_doc
+
+
+def _doc(rng, lang, n_lines, min_chars=101):
+    return [sentence_of_min_chars(rng, lang, min_chars) for _ in range(n_lines)]
+
+
+@pytest.fixture(scope="module")
+def docs():
+    rng = random.Random(123)
+    out = {
+        "en_mono": _doc(rng, "en", 6),
+        "fr_mono": _doc(rng, "fr", 6),
+        "fi_mono": _doc(rng, "fi", 3),
+        "gibberish": _doc(rng, GIBBERISH_LABEL, 6),
+        "multi_pos": _doc(rng, "en", 6) + _doc(rng, "fr", 6),
+        "multi_imbalanced": _doc(rng, "en", 9) + _doc(rng, "fr", 1),
+        "multi_too_many": (
+            _doc(rng, "en", 2) + _doc(rng, "fr", 2) + _doc(rng, "de", 2)
+            + _doc(rng, "es", 2) + _doc(rng, "it", 2) + _doc(rng, "pt", 2)
+        ),
+        "multi_too_short": _doc(rng, "en", 4) + _doc(rng, "fr", 4),
+        "mostly_en_some_gib": _doc(rng, "en", 8) + _doc(rng, GIBBERISH_LABEL, 1),
+        "nul_chars": [s.replace(" ", "\x00 ", 3) for s in _doc(rng, "de", 5)],
+        "empty_lines": ["", "", ""],
+    }
+    return out
+
+
+def test_identify_doc_semantics(docs):
+    assert identify_doc(docs["en_mono"])[0] == "en"
+    assert identify_doc(docs["fr_mono"])[0] == "fr"
+    assert identify_doc(docs["fi_mono"])[0] == "fi"
+    lang, prob, _, _ = identify_doc(docs["gibberish"])
+    assert lang is None  # argmax bin is the unidentified bin → drop
+    lang, prob, _, multi = identify_doc(docs["multi_pos"])
+    assert (lang, multi) == ("multi", True)
+    assert prob == 0.5
+    lang, _, _, multi = identify_doc(docs["multi_imbalanced"])
+    assert (lang, multi) == ("en", False)  # fr count < threshold
+    lang, _, _, multi = identify_doc(docs["multi_too_many"])
+    assert multi is False  # 6 langs > max 5
+    lang, _, _, multi = identify_doc(docs["multi_too_short"])
+    assert multi is False  # 8 lines < 10
+    assert identify_doc(docs["mostly_en_some_gib"])[0] == "en"
+    assert identify_doc(docs["nul_chars"])[0] == "de"  # \0 stripped
+    assert identify_doc(docs["empty_lines"])[0] is None
+    assert identify_doc([])[0] is None
+
+
+def test_doc_confidence_threshold(docs):
+    # en lines + a large unidentified byte mass → en wins bin argmax but
+    # normalized confidence < 0.6 → dropped (pipeline.rs:284-286)
+    rng = random.Random(5)
+    en = _doc(rng, "en", 3)
+    gib_bytes = _doc(rng, GIBBERISH_LABEL, 2, min_chars=250)
+    lang, prob, _, _ = identify_doc(en + gib_bytes)
+    assert lang is None
+
+
+def test_spark_udf_matches_direct(spark, docs):
+    rows = [(k, v) for k, v in docs.items()]
+    df = spark.createDataFrame(rows, "name string, lines array<string>")
+    got = {r["name"]: r for r in apply_lid(df).collect()}
+    for name, lines in rows:
+        lang, prob, slangs, multi = identify_doc(lines)
+        r = got[name]
+        assert r["lang"] == lang, name
+        if prob is None:
+            assert r["lang_prob"] is None
+        else:
+            assert abs(r["lang_prob"] - prob) < 1e-6, name
+        assert r["multilingual"] == multi
+        got_sl = [
+            None if x is None else (x["label"], x["prob"]) for x in r["sentence_langs"]
+        ]
+        exp_sl = [None if x is None else (x[0], pytest.approx(x[1], abs=1e-6)) for x in slangs]
+        assert got_sl == exp_sl or all(
+            (a is None) == (b is None) for a, b in zip(got_sl, exp_sl)
+        ), name

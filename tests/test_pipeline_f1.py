@@ -1,0 +1,102 @@
+"""End-to-end pipeline vs the frozen reference labels (BASELINE.json):
+keep/drop F1 ≥ 0.99, scrubbed-transcript exact match, language match,
+bytes passthrough (plan-level + decoded SNR ≥ 30 dB)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ungoliant_spark.plans.pipeline import decide, kept_output
+from ungoliant_spark.sources.audio import decode, snr_db, synth_pcm
+from ungoliant_spark.sources.fixtures import (
+    ADULT_CATEGORY,
+    ADULT_TERMS,
+    SEED,
+    generate,
+)
+
+TERM_MAP = {t: ADULT_CATEGORY for t in ADULT_TERMS}
+
+
+@pytest.fixture(scope="module")
+def fixture_dir():
+    return generate(0.001)
+
+
+@pytest.fixture(scope="module")
+def decided(spark, fixture_dir):
+    clips = spark.read.parquet(f"{fixture_dir}/clips.parquet")
+    df = decide(clips, TERM_MAP)
+    cols = [
+        "clip_id", "keep", "lang", "lang_prob", "quality_warnings",
+        "categories", "scrubbed", "line_start", "line_end",
+    ]
+    return {r["clip_id"]: r for r in df.select(cols).collect()}
+
+
+@pytest.fixture(scope="module")
+def labels(spark, fixture_dir):
+    rows = spark.read.parquet(f"{fixture_dir}/labels.parquet").collect()
+    return {r["clip_id"]: r for r in rows}
+
+
+def test_keep_f1(decided, labels):
+    tp = fp = fn = tn = 0
+    for cid, lab in labels.items():
+        got = decided[cid]["keep"]
+        exp = lab["keep"]
+        if got and exp:
+            tp += 1
+        elif got and not exp:
+            fp += 1
+        elif not got and exp:
+            fn += 1
+        else:
+            tn += 1
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * precision * recall / (precision + recall)
+    assert f1 >= 0.99, (f1, {"tp": tp, "fp": fp, "fn": fn, "tn": tn})
+
+
+def test_kept_row_fields_match_labels(decided, labels):
+    for cid, lab in labels.items():
+        got = decided[cid]
+        if not (lab["keep"] and got["keep"]):
+            continue
+        assert got["lang"] == lab["lang"], cid
+        assert abs(got["lang_prob"] - lab["lang_prob"]) < 1e-5, cid
+        assert got["scrubbed"] == lab["scrubbed_transcript"], cid
+        assert list(got["quality_warnings"]) == list(lab["quality_warnings"]), cid
+        got_cats = list(got["categories"]) if got["categories"] else None
+        exp_cats = list(lab["categories"]) if lab["categories"] else None
+        assert got_cats == exp_cats, cid
+        assert got["line_start"] == lab["line_start"], cid
+        assert got["line_end"] == lab["line_end"], cid
+
+
+def test_bytes_never_enter_python_stage(spark, fixture_dir):
+    clips = spark.read.parquet(f"{fixture_dir}/clips.parquet")
+    out = kept_output(decide(clips, TERM_MAP))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan  # the LID stage exists
+    for line in plan.splitlines():
+        if "ArrowEvalPython" in line:
+            assert "bytes" not in line, line
+
+
+def test_pcm_passthrough_snr(spark, fixture_dir):
+    clips = spark.read.parquet(f"{fixture_dir}/clips.parquet")
+    kept = kept_output(decide(clips, TERM_MAP))
+    sample = kept.select("clip_id", "bytes", "sr_hz", "dur_ms", "codec").limit(
+        64
+    ).collect()
+    assert sample
+    for r in sample:
+        i = int(r["clip_id"].split("-")[1])
+        rng = np.random.default_rng(SEED * 1_000_003 + i)
+        expected = synth_pcm(rng, r["sr_hz"], r["dur_ms"])
+        got = decode(bytes(r["bytes"]), r["codec"])
+        assert snr_db(expected, got) >= 30.0, r["clip_id"]

@@ -1,0 +1,176 @@
+"""fastText-style language-ID model: hashed char-ngram linear model
+in pure numpy.
+
+Same math as fastText supervised inference (the model class behind
+lid.176.bin used by the reference, /root/reference/src/identifiers/
+model.rs:64-89): token + char-ngram features → FNV-1a hash buckets →
+mean of embedding rows → linear layer → softmax. No fasttext wheel
+exists in this sandbox, so the engine ships its own deterministic
+fixture model (trained offline on the synthetic corpora in
+langdata.py by scripts/train_lid.py); a production deployment would
+load the real lid.176.bin weights into the same (E, W, b) arrays.
+
+Everything is vectorizable per Arrow batch: featurization is a
+python loop per line (cheap, short lines), the matmul work is numpy.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+# fastText FNV-1a 32-bit (src/dictionary.cc hash())
+_FNV_PRIME = np.uint32(16777619)
+_FNV_BASIS = np.uint32(2166136261)
+
+MINN, MAXN = 2, 4
+DEFAULT_MODEL_PATH = os.path.join(
+    os.path.dirname(__file__), "resources", "lid_model.npz"
+)
+
+
+def fnv1a(data: bytes) -> int:
+    h = int(_FNV_BASIS)
+    for byte in data:
+        h ^= byte
+        h = (h * int(_FNV_PRIME)) & 0xFFFFFFFF
+    return h
+
+
+def line_features(line: str, buckets: int) -> list[int]:
+    """Feature ids for one line: per token '<tok>' char ngrams
+    (n=MINN..MAXN) plus the token itself, FNV-hashed into buckets."""
+    ids: list[int] = []
+    for tok in line.split():
+        w = f"<{tok}>"
+        ids.append(fnv1a(tok.encode("utf-8")) % buckets)
+        for n in range(MINN, MAXN + 1):
+            for i in range(len(w) - n + 1):
+                ids.append(fnv1a(w[i : i + n].encode("utf-8")) % buckets)
+    return ids
+
+
+@dataclass
+class LidModel:
+    E: np.ndarray  # (buckets, dim) float32 input embeddings
+    W: np.ndarray  # (dim, n_classes) float32 output layer
+    b: np.ndarray  # (n_classes,) float32
+    labels: list[str]  # fastText-style '__label__xxx'
+    junk: set[str]  # labels treated as unidentified (e.g. __label__zz)
+
+    @property
+    def buckets(self) -> int:
+        return self.E.shape[0]
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        np.savez_compressed(
+            path,
+            E=self.E,
+            W=self.W,
+            b=self.b,
+            labels=np.array(self.labels),
+            junk=np.array(sorted(self.junk)),
+        )
+
+    @classmethod
+    def load(cls, path: str = DEFAULT_MODEL_PATH) -> "LidModel":
+        z = np.load(path, allow_pickle=False)
+        return cls(
+            E=z["E"].astype(np.float32),
+            W=z["W"].astype(np.float32),
+            b=z["b"].astype(np.float32),
+            labels=[str(x) for x in z["labels"]],
+            junk={str(x) for x in z["junk"]},
+        )
+
+    def hidden(self, line: str) -> np.ndarray | None:
+        ids = line_features(line, self.buckets)
+        if not ids:
+            return None
+        return self.E[np.array(ids, dtype=np.int64)].mean(
+            axis=0, dtype=np.float32
+        )
+
+    def predict_probs(self, line: str) -> np.ndarray | None:
+        h = self.hidden(line)
+        if h is None:
+            return None
+        logits = (h @ self.W + self.b).astype(np.float32)
+        logits -= logits.max()
+        p = np.exp(logits, dtype=np.float32)
+        return p / p.sum(dtype=np.float32)
+
+    def predict_one(
+        self, line: str, threshold: float = 0.8
+    ) -> tuple[str, float] | None:
+        """k=1 prediction with prob threshold, mirroring
+        FastText::predict_one (model.rs:64-89): below-threshold (or
+        junk-class argmax, our gibberish bin) → None."""
+        p = self.predict_probs(line)
+        if p is None:
+            return None
+        i = int(np.argmax(p))
+        label = self.labels[i]
+        prob = float(p[i])
+        if label in self.junk or prob < threshold:
+            return None
+        return label, prob
+
+
+def train(
+    seed: int = 42,
+    buckets: int = 1 << 16,
+    dim: int = 16,
+    n_per_class: int = 3000,
+    epochs: int = 4,
+    lr: float = 0.35,
+) -> LidModel:
+    """Deterministic softmax-regression training (numpy SGD) on the
+    synthetic corpora — run once offline by scripts/train_lid.py; the
+    resulting npz is committed so labels are stable."""
+    import random as _random
+
+    from ungoliant_spark.langdata import GIBBERISH_LABEL, LANGS, sentence
+
+    iso3 = {
+        "en": "eng", "fr": "fra", "de": "deu", "es": "spa",
+        "it": "ita", "pt": "por", "nl": "nld", "fi": "fin",
+        GIBBERISH_LABEL: "zz",
+    }
+    classes = LANGS + [GIBBERISH_LABEL]
+    labels = [f"__label__{iso3[c]}" for c in classes]
+    rng = _random.Random(seed)
+    samples: list[tuple[list[int], int]] = []
+    for ci, lang in enumerate(classes):
+        for _ in range(n_per_class):
+            n_words = rng.randint(2, 18)
+            ids = line_features(sentence(rng, lang, n_words), buckets)
+            if ids:
+                samples.append((ids, ci))
+    order = np.random.RandomState(seed)
+    E = (order.rand(buckets, dim).astype(np.float32) - 0.5) / dim
+    W = np.zeros((dim, len(classes)), dtype=np.float32)
+    b = np.zeros(len(classes), dtype=np.float32)
+    idx = np.arange(len(samples))
+    for ep in range(epochs):
+        order.shuffle(idx)
+        cur_lr = lr * (1 - ep / epochs)
+        for j in idx:
+            ids, ci = samples[j]
+            a = np.array(ids, dtype=np.int64)
+            h = E[a].mean(axis=0, dtype=np.float32)
+            logits = h @ W + b
+            logits -= logits.max()
+            p = np.exp(logits)
+            p /= p.sum()
+            p[ci] -= 1.0
+            gh = W @ p
+            W -= cur_lr * np.outer(h, p)
+            b -= cur_lr * p
+            E[a] -= cur_lr * gh / len(ids)
+    return LidModel(
+        E=E, W=W, b=b, labels=labels, junk={f"__label__{iso3[GIBBERISH_LABEL]}"}
+    )

@@ -1,0 +1,130 @@
+"""The full quality-filter pipeline over a clips table — the Spark
+equivalent of OscarDocNew::run (/root/reference/src/pipelines/
+oscardoc/pipeline.rs:426-507).
+
+Stage order and the reasoning (SURVEY.md §4 "cheap filters first"):
+
+  scan → trim (Catalyst) → PFilter (Catalyst) → annotators +
+  noisy+tiny drop (Catalyst) → LID (pandas UDF) → doc-threshold
+  filter → adult categories (Catalyst) → PII scrub (Catalyst) →
+  lang_bucket + salted repartition → sinks
+
+The reference runs annotators *after* LID (pipeline.rs:213-226); the
+annotations are pure functions of the trimmed content, so hoisting
+the noisy+tiny drop above the Python stage changes no decision while
+sparing the expensive model pass for doomed rows — the same
+discipline the reference itself applies by running trim/PFilter
+before fastText. Catalyst cannot reorder predicates across a Python
+UDF, so this staging is done by hand here.
+
+The audio ``bytes`` column never enters the Python stage: the UDF
+consumes only the ``lines`` array, so ArrowEvalPython ships just that
+column to the worker (verified by plan inspection in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ungoliant_spark.operators.annotators import apply_annotators
+from ungoliant_spark.operators.blocklist import apply_blocklist
+from ungoliant_spark.operators.lid import apply_lid
+from ungoliant_spark.operators.pfilter import apply_pfilter
+from ungoliant_spark.operators.scrub import apply_scrub
+from ungoliant_spark.operators.trim import apply_trim
+
+# default salt fan-out for the dominant-language skew (FIXTURES.md §3.12:
+# ~70% of rows are 'en'); bounds the biggest write partition to
+# ~total/SALT_BUCKETS instead of ~total*0.7
+DEFAULT_SALT_BUCKETS = 16
+
+
+def decide(
+    df: DataFrame,
+    term_to_category: dict[str, str] | None = None,
+    prune_before_lid: bool = True,
+) -> DataFrame:
+    """Compute every pipeline decision column for all input rows.
+
+    With ``prune_before_lid`` the LID UDF sees an empty line array for
+    rows already dropped by the Catalyst stages (identify_doc([]) is
+    O(1)), so the model cost is paid only for heuristic survivors
+    while decisions stay defined for every row (needed for F1 scoring
+    and lineage of drops).
+    """
+    df = apply_trim(df)
+    df = apply_pfilter(df)
+    df = apply_annotators(df)
+    heur_keep = (
+        F.col("trim_keep") & F.col("pfilter_keep") & F.col("annotation_keep")
+    )
+    df = df.withColumn("heuristic_keep", heur_keep)
+    if prune_before_lid:
+        df = df.withColumn(
+            "_lid_input",
+            F.when(F.col("heuristic_keep"), F.col("lines")).otherwise(
+                F.array().cast("array<string>")
+            ),
+        )
+    else:
+        df = df.withColumn("_lid_input", F.col("lines"))
+    df = apply_lid(df, lines_col="_lid_input")
+    df = df.drop("_lid_input")
+    df = df.withColumn("keep", F.col("heuristic_keep") & F.col("lid_keep"))
+    if term_to_category:
+        df = apply_blocklist(df, term_to_category)
+    else:
+        df = df.withColumn("categories", F.lit(None).cast("array<string>"))
+    df = apply_scrub(df)
+    df = df.withColumn(
+        "scrubbed", F.when(F.col("keep"), F.col("scrubbed"))
+    )
+    # language bucket for partitioned writes ('multi' and real tags)
+    return df.withColumn(
+        "lang_bucket", F.when(F.col("keep"), F.col("lang"))
+    )
+
+
+def kept_output(df_decided: DataFrame) -> DataFrame:
+    """The kept-clips sink projection: original columns + metadata.
+    ``bytes`` passes through untouched from the scan."""
+    return df_decided.filter(F.col("keep")).select(
+        "clip_id",
+        "bytes",
+        "sr_hz",
+        "dur_ms",
+        "codec",
+        F.col("scrubbed").alias("transcript"),
+        "lang",
+        "lang_prob",
+        "sentence_langs",
+        "quality_warnings",
+        "categories",
+        "line_start",
+        "line_end",
+        "lang_bucket",
+    )
+
+
+def salted_repartition(
+    df: DataFrame, n_partitions: int, salt_buckets: int = DEFAULT_SALT_BUCKETS
+) -> DataFrame:
+    """repartition(lang_bucket, salt) — the sort_by_lang analog
+    (pipeline.rs:313-326) with skew salting (SURVEY.md §4.4): one
+    dominant language would otherwise serialize into one task. AQE
+    skew handling only applies to joins, hence the manual salt."""
+    salt = F.pmod(F.xxhash64(F.col("clip_id")), F.lit(salt_buckets))
+    return df.repartition(n_partitions, F.col("lang_bucket"), salt)
+
+
+def run(
+    clips: DataFrame,
+    term_to_category: dict[str, str] | None = None,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """decide + filter + salted repartition — ready for the sink."""
+    out = kept_output(decide(clips, term_to_category))
+    if n_partitions:
+        out = salted_repartition(out, n_partitions)
+    return out
