@@ -1,0 +1,80 @@
+"""Snapshot checkpointing: crash mid-run → resume → identical final
+tables, no duplicate rows; lineage round-trip rebuild equals the kept
+output pre-scrub (mirrors tests/oscardoc_rebuild.rs:19-69)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ungoliant_spark.operators.scrub import scrub
+from ungoliant_spark.plans.checkpoint import CheckpointedRun, rebuild
+from ungoliant_spark.sources.fixtures import generate
+
+OUT = "/root/repo/.cache/test_ckpt"
+
+
+@pytest.fixture(scope="module")
+def clips(spark):
+    d = generate(0.001)
+    return spark.read.parquet(f"{d}/clips.parquet")
+
+
+def test_crash_resume_no_dups(spark, clips):
+    shutil.rmtree(OUT, ignore_errors=True)
+    run = CheckpointedRun(OUT)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run.run(clips, n_chunks=4, fail_after=2)
+    assert len(run.kept.committed_chunks()) == 2
+
+    # resume with a fresh runner (new process semantics)
+    run2 = CheckpointedRun(OUT)
+    newly = run2.run(clips, n_chunks=4)
+    assert len(newly) == 2
+    assert len(run2.kept.committed_chunks()) == 4
+
+    final = run2.kept.read(spark)
+    n = final.count()
+    assert final.select("clip_id").distinct().count() == n  # no dups
+
+    # a third run is a complete no-op
+    assert CheckpointedRun(OUT).run(clips, n_chunks=4) == set()
+    assert run2.kept.read(spark).count() == n
+
+    # one-shot reference: same pipeline, no chunking
+    from ungoliant_spark.plans.pipeline import decide, kept_output
+
+    direct = kept_output(decide(clips)).select("clip_id")
+    assert (
+        direct.subtract(final.select("clip_id")).count() == 0
+        and final.select("clip_id").subtract(direct).count() == 0
+    )
+
+
+def test_lineage_rebuild_roundtrip(spark, clips):
+    run = CheckpointedRun(OUT)  # committed by the previous test
+    lineage = run.lineage.read(spark)
+    kept = run.kept.read(spark)
+    rebuilt = rebuild(lineage, clips)
+    # scrub(rebuilt content) must equal the kept (scrubbed) transcript
+    joined = rebuilt.withColumn("rescrubbed", scrub(F.col("content"))).join(
+        kept.select("clip_id", "transcript"),
+        rebuilt.record_id == kept.clip_id,
+    )
+    assert joined.count() == kept.count()
+    mismatches = joined.filter(F.col("rescrubbed") != F.col("transcript"))
+    assert mismatches.count() == 0
+
+
+def test_metrics_table(spark, clips):
+    run = CheckpointedRun(OUT)
+    m = run.metrics.read(spark)
+    kept = run.kept.read(spark)
+    total = m.agg(F.sum("n_docs")).collect()[0][0]
+    assert total == kept.count()
+    assert set(m.columns) >= {
+        "chunk_id", "lang_bucket", "n_docs", "sum_dur_ms",
+        "sum_audio_bytes", "avg_harmful_pp",
+    }

@@ -61,20 +61,37 @@ def test_keep_f1(decided, labels):
     assert f1 >= 0.99, (f1, {"tp": tp, "fp": fp, "fn": fn, "tn": tn})
 
 
-def test_kept_row_fields_match_labels(decided, labels):
-    for cid, lab in labels.items():
-        got = decided[cid]
-        if not (lab["keep"] and got["keep"]):
-            continue
+@pytest.fixture(scope="module")
+def kept_rows(spark, fixture_dir):
+    from ungoliant_spark.plans.pipeline import run
+
+    clips = spark.read.parquet(f"{fixture_dir}/clips.parquet")
+    out = run(clips, TERM_MAP, n_partitions=8)
+    return {r["clip_id"]: r for r in out.drop("bytes").collect()}
+
+
+def test_kept_row_fields_match_labels(kept_rows, labels):
+    n_kept_labels = sum(1 for lab in labels.values() if lab["keep"])
+    assert len(kept_rows) == n_kept_labels
+    for cid, got in kept_rows.items():
+        lab = labels[cid]
+        assert lab["keep"], cid
         assert got["lang"] == lab["lang"], cid
         assert abs(got["lang_prob"] - lab["lang_prob"]) < 1e-5, cid
-        assert got["scrubbed"] == lab["scrubbed_transcript"], cid
+        assert got["transcript"] == lab["scrubbed_transcript"], cid
         assert list(got["quality_warnings"]) == list(lab["quality_warnings"]), cid
         got_cats = list(got["categories"]) if got["categories"] else None
         exp_cats = list(lab["categories"]) if lab["categories"] else None
         assert got_cats == exp_cats, cid
         assert got["line_start"] == lab["line_start"], cid
         assert got["line_end"] == lab["line_end"], cid
+        assert got["tlsh"] == lab["tlsh"], cid
+        if lab["harmful_pp"] is None:
+            assert got["harmful_pp"] is None, cid
+        else:
+            assert got["harmful_pp"] == pytest.approx(
+                lab["harmful_pp"], rel=1e-4
+            ), cid
 
 
 def test_bytes_never_enter_python_stage(spark, fixture_dir):

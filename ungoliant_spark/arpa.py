@@ -1,0 +1,156 @@
+"""ARPA n-gram language models: tiny trainer + backoff scorer.
+
+The reference scores documents with per-language KenLM models
+(/root/reference/src/transformers/kenlm/adult_content.rs:9-61),
+lazily loaded per language (kenlm/lru.rs:54-169), storing the
+perplexity as ``harmful_pp`` — annotation only, no drop.
+
+No kenlm wheel exists in this sandbox, so this module implements the
+same math from scratch: an order-3 ARPA model (absolute-discount
+backoff, log10 probs) trained deterministically on the synthetic
+corpora by scripts/train_arpa.py, and a dict-lookup scorer with
+standard backoff recursion:
+
+    P(w|u,v) = P3(u,v,w)            if (u,v,w) in model
+             = bow(u,v)*P(w|v)      else
+
+Perplexity follows KenLM's convention: score <s> w1..wn </s>,
+pp = 10^(-Σ log10 P / (n+1)), OOV words hit <unk>.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from collections import defaultdict
+
+ARPA_DIR = os.path.join(os.path.dirname(__file__), "resources", "arpa")
+ORDER = 3
+DISCOUNT = 0.5
+UNK, BOS, EOS = "<unk>", "<s>", "</s>"
+
+
+def train_arpa(sentences: list[list[str]], order: int = ORDER) -> dict:
+    """Counts → absolute-discount backoff model.
+    Returns {n: {ngram_tuple: (log10 p, log10 bow|None)}}."""
+    counts: list[dict] = [defaultdict(int) for _ in range(order + 1)]
+    for toks in sentences:
+        seq = [BOS] + toks + [EOS]
+        for n in range(1, order + 1):
+            for i in range(len(seq) - n + 1):
+                if n == 1 and seq[i] == BOS:
+                    pass  # <s> gets a dummy unigram prob, never predicted
+                counts[n][tuple(seq[i : i + n])] += 1
+    # context totals and continuation fan-out
+    ctx_total: list[dict] = [defaultdict(int) for _ in range(order + 1)]
+    ctx_types: list[dict] = [defaultdict(int) for _ in range(order + 1)]
+    for n in range(2, order + 1):
+        for ng, c in counts[n].items():
+            ctx_total[n][ng[:-1]] += c
+            ctx_types[n][ng[:-1]] += 1
+    model: dict[int, dict] = {n: {} for n in range(1, order + 1)}
+    # unigrams: add-one over vocab incl <unk>/<eos>
+    vocab = set(w for (w,) in counts[1]) | {UNK, EOS}
+    total1 = sum(counts[1].values()) + len(vocab)
+    for w in sorted(vocab | {BOS}):
+        if w == BOS:
+            model[1][(w,)] = (-99.0, 0.0)  # ARPA convention for <s>
+            continue
+        p = (counts[1].get((w,), 0) + 1) / total1
+        model[1][(w,)] = (math.log10(p), 0.0)
+    # higher orders with absolute discounting
+    for n in range(2, order + 1):
+        for ng, c in counts[n].items():
+            ctx = ng[:-1]
+            p = (c - DISCOUNT) / ctx_total[n][ctx]
+            if p <= 0:
+                continue
+            model[n][ng] = (math.log10(p), 0.0 if n < order else None)
+        # backoff weights live on the (n-1)-gram entries
+        for ctx, tot in ctx_total[n].items():
+            bow = DISCOUNT * ctx_types[n][ctx] / tot
+            if ctx in model[n - 1]:
+                lp, _ = model[n - 1][ctx]
+                model[n - 1][ctx] = (lp, math.log10(bow))
+    return model
+
+
+def write_arpa(model: dict, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\\data\\\n")
+        for n in sorted(model):
+            f.write(f"ngram {n}={len(model[n])}\n")
+        for n in sorted(model):
+            f.write(f"\n\\{n}-grams:\n")
+            for ng in sorted(model[n]):
+                lp, bow = model[n][ng]
+                line = f"{lp:.6f}\t{' '.join(ng)}"
+                if bow is not None and n < max(model):
+                    line += f"\t{bow:.6f}"
+                f.write(line + "\n")
+        f.write("\n\\end\\\n")
+
+
+class ArpaModel:
+    """Backoff scorer over a parsed ARPA file (KenLM math)."""
+
+    def __init__(self, model: dict[int, dict]):
+        self.model = model
+        self.order = max(model)
+
+    @classmethod
+    def load(cls, path: str) -> "ArpaModel":
+        model: dict[int, dict] = {}
+        cur_n = None
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if line.startswith("\\") and line.endswith("-grams:"):
+                    cur_n = int(line[1])
+                    model[cur_n] = {}
+                    continue
+                if not line or line.startswith("\\") or line.startswith("ngram"):
+                    continue
+                if cur_n is None:
+                    continue
+                parts = line.split("\t")
+                lp = float(parts[0])
+                ng = tuple(parts[1].split(" "))
+                bow = float(parts[2]) if len(parts) > 2 else None
+                model[cur_n][ng] = (lp, bow)
+        return cls(model)
+
+    def logprob(self, ngram: tuple[str, ...]) -> float:
+        n = len(ngram)
+        entry = self.model.get(n, {}).get(ngram)
+        if entry is not None:
+            return entry[0]
+        if n == 1:
+            return self.model[1][(UNK,)][0]
+        # backoff: bow(context) + P(w | shorter context)
+        ctx = self.model.get(n - 1, {}).get(ngram[:-1])
+        bow = ctx[1] if ctx is not None and ctx[1] is not None else 0.0
+        return bow + self.logprob(ngram[1:])
+
+    def perplexity(self, text: str) -> float:
+        """KenLM-style whole-string perplexity; the reference feeds
+        content with newlines replaced by spaces
+        (adult_content.rs:56-60)."""
+        words = [
+            w if (w,) in self.model[1] else UNK for w in text.split()
+        ]
+        seq = [BOS] + words + [EOS]
+        total = 0.0
+        scored = 0
+        for i in range(1, len(seq)):
+            lo = max(0, i - self.order + 1)
+            total += self.logprob(tuple(seq[lo : i + 1]))
+            scored += 1
+        if scored == 0:
+            return float("inf")
+        return 10.0 ** (-total / scored)
+
+
+def model_path(lang: str) -> str:
+    return os.path.join(ARPA_DIR, f"{lang}.arpa")

@@ -30,8 +30,10 @@ from pyspark.sql import functions as F
 from ungoliant_spark.operators.annotators import apply_annotators
 from ungoliant_spark.operators.blocklist import apply_blocklist
 from ungoliant_spark.operators.lid import apply_lid
+from ungoliant_spark.operators.perplexity import apply_perplexity
 from ungoliant_spark.operators.pfilter import apply_pfilter
 from ungoliant_spark.operators.scrub import apply_scrub
+from ungoliant_spark.operators.tlsh_op import apply_tlsh
 from ungoliant_spark.operators.trim import apply_trim
 
 # default salt fan-out for the dominant-language skew (FIXTURES.md §3.12:
@@ -86,24 +88,43 @@ def decide(
     )
 
 
-def kept_output(df_decided: DataFrame) -> DataFrame:
-    """The kept-clips sink projection: original columns + metadata.
+FINAL_COLUMNS = [
+    "clip_id",
+    "bytes",
+    "sr_hz",
+    "dur_ms",
+    "codec",
+    "transcript",
+    "lang",
+    "lang_prob",
+    "sentence_langs",
+    "quality_warnings",
+    "categories",
+    "harmful_pp",
+    "tlsh",
+    "line_start",
+    "line_end",
+    "lang_bucket",
+]
+
+
+def kept_output(
+    df_decided: DataFrame, n_partitions: int | None = None
+) -> DataFrame:
+    """Kept rows + the model annotators that only run on survivors:
+    TLSH over content, then per-language perplexity (whose salted
+    repartition doubles as the sort_by_lang write partitioning).
     ``bytes`` passes through untouched from the scan."""
-    return df_decided.filter(F.col("keep")).select(
-        "clip_id",
-        "bytes",
-        "sr_hz",
-        "dur_ms",
-        "codec",
-        F.col("scrubbed").alias("transcript"),
-        "lang",
-        "lang_prob",
-        "sentence_langs",
-        "quality_warnings",
-        "categories",
-        "line_start",
-        "line_end",
-        "lang_bucket",
+    kept = df_decided.filter(F.col("keep"))
+    kept = apply_tlsh(kept, "content")
+    kept = apply_perplexity(
+        kept, "content", "lang_bucket", n_partitions=n_partitions
+    )
+    return kept.select(
+        *[
+            F.col("scrubbed").alias("transcript") if c == "transcript" else c
+            for c in FINAL_COLUMNS
+        ]
     )
 
 
@@ -123,8 +144,6 @@ def run(
     term_to_category: dict[str, str] | None = None,
     n_partitions: int | None = None,
 ) -> DataFrame:
-    """decide + filter + salted repartition — ready for the sink."""
-    out = kept_output(decide(clips, term_to_category))
-    if n_partitions:
-        out = salted_repartition(out, n_partitions)
-    return out
+    """decide + filter + model annotators + salted repartition —
+    ready for the sink."""
+    return kept_output(decide(clips, term_to_category), n_partitions)

@@ -284,10 +284,30 @@ def _pick_case(rng: random.Random):
     return _CASE_CUM[-1][1], _CASE_CUM[-1][2], 1.0
 
 
+_ARPA_CACHE: dict = {}
+
+
+def _label_pp(lang: str, content: str):
+    from ungoliant_spark.arpa import ArpaModel, model_path
+
+    if lang not in _ARPA_CACHE:
+        path = model_path(lang)
+        _ARPA_CACHE[lang] = (
+            ArpaModel.load(path) if os.path.exists(path) else None
+        )
+    m = _ARPA_CACHE[lang]
+    if m is None:
+        return None
+    return float(np.float32(m.perplexity(content.replace("\n", " "))))
+
+
 def label_row(clip_id: str, transcript: str) -> dict:
     """Frozen reference label via the pure-Python oracle, in pipeline
     stage order (pipeline.rs:162-226): trim → pfilter → LID →
-    annotate → noisy+tiny drop → scrub + adult categories."""
+    annotate → noisy+tiny drop → scrub + adult categories + TLSH +
+    per-language perplexity."""
+    from ungoliant_spark.operators.tlsh_op import tlsh_hash
+
     h = oracle.heuristic_pipeline(transcript)
     lang = lang_prob = None
     keep = False
@@ -304,6 +324,8 @@ def label_row(clip_id: str, transcript: str) -> dict:
         "lang_prob": float(lang_prob) if (keep and lang_prob is not None) else None,
         "quality_warnings": h.quality_warnings if h.trim_keep and h.pfilter_keep else [],
         "categories": cats,
+        "harmful_pp": _label_pp(lang, h.content) if keep else None,
+        "tlsh": tlsh_hash(h.content.encode("utf-8")) if keep else None,
         "scrubbed_transcript": oracle.scrub(h.content) if keep else None,
         "line_start": h.line_start,
         "line_end": h.line_end,
@@ -318,6 +340,8 @@ LABELS_SCHEMA = pa.schema(
         ("lang_prob", pa.float32()),
         ("quality_warnings", pa.list_(pa.string())),
         ("categories", pa.list_(pa.string())),
+        ("harmful_pp", pa.float32()),
+        ("tlsh", pa.string()),
         ("scrubbed_transcript", pa.string()),
         ("line_start", pa.int32()),
         ("line_end", pa.int32()),
