@@ -12,6 +12,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ungoliant_spark import oracle_sql as osql
+from ungoliant_spark import oracle_sql_dataset as osqld
+from ungoliant_spark.plans import dataset_queries as dsq
 from ungoliant_spark.plans import document_queries as dq
 
 
@@ -22,12 +24,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # quality-filter stages (reference operators, SURVEY.md §2)
         "trim_bounds": dq.q_trim_bounds,
         "pfilter": dq.q_pfilter,
         "quality_annotations": dq.q_quality_annotations,
         "heuristic_keep": dq.q_heuristic_keep,
         "pii_scrub": dq.q_pii_scrub,
         "keep_stats": dq.q_keep_stats,
+        # training-data pipeline ops
+        "dedup_exact": dsq.q_dedup_exact,
+        "dedup_jaccard": dsq.q_dedup_jaccard,
+        "dedup_minhash": dsq.q_dedup_minhash,
+        "simhash": dsq.q_simhash,
+        "knn_cosine": dsq.q_knn_cosine,
+        "knn_ann_lsh": dsq.q_knn_ann_lsh,  # rows-only (approximate)
+        "text_stats": dsq.q_text_stats,
+        "quality_by_source": dsq.q_quality_by_source,
     }
 
 
@@ -39,4 +51,11 @@ def oracle_sql() -> dict[str, str]:
         "heuristic_keep": osql.oracle_heuristic_keep(),
         "pii_scrub": osql.oracle_pii_scrub(),
         "keep_stats": osql.oracle_keep_stats(),
+        "dedup_exact": osqld.oracle_dedup_exact(),
+        "dedup_jaccard": osqld.oracle_dedup_jaccard(),
+        "dedup_minhash": osqld.oracle_dedup_minhash(),
+        "simhash": osqld.oracle_simhash(),
+        "knn_cosine": osqld.oracle_knn_cosine(),
+        "text_stats": osqld.oracle_text_stats(),
+        "quality_by_source": osqld.oracle_quality_by_source(),
     }

@@ -1,0 +1,91 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Headline workload = the oracle-checked documents-table queries plus
+the full clips pipeline (trim→PFilter→annotators→LID UDF→blocklist→
+scrub→TLSH→perplexity→salted write) over the deterministic clips
+fixture at the matching scale, materialized through a real parquet
+sink. Also reports clips/sec for the pipeline leg.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import time
+
+os.environ.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    sf_dir = os.environ["SPARK_GRAFT_SF_DIR"]
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+
+    from ungoliant_spark.session import get_spark
+    from ungoliant_spark.sources.fixtures import (
+        ADULT_CATEGORY,
+        ADULT_TERMS,
+        generate,
+    )
+
+    # fixture generation is cached and excluded from timings
+    clips_dir = generate(sf, with_labels=False)
+
+    spark = get_spark("ungoliant-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=2 * cpus)
+    import __spark_entry__ as entrymod
+
+    timings: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    # clips pipeline leg: full run through a real partitioned sink
+    from ungoliant_spark.plans.pipeline import run as pipeline_run
+
+    clips = spark.read.parquet(f"{clips_dir}/clips.parquet")
+    n_clips = clips.count()
+    sink = os.path.abspath(".cache/bench_sink")
+    reps = int(os.environ.get("BENCH_REPS", "1"))
+    out = pipeline_run(
+        clips,
+        {t: ADULT_CATEGORY for t in ADULT_TERMS},
+        n_partitions=2 * cpus,
+    )
+    times = []
+    for _ in range(reps):
+        shutil.rmtree(sink, ignore_errors=True)
+        t0 = time.time()
+        out.write.mode("overwrite").parquet(sink)
+        times.append(time.time() - t0)
+    pipeline_sec = round(min(times), 3)
+    timings["clips_pipeline"] = pipeline_sec
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "clips": n_clips,
+                "clips_per_sec": round(n_clips / pipeline_sec, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,77 @@
+"""Training-data ops: ANN recall vs brute force; dedup sanity on a
+constructed corpus with known duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ungoliant_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+)
+from ungoliant_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_ann_recall_vs_brute(spark):
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 20)
+    brute = cosine_topk(embs, queries, k=5).collect()
+    ann = ann_lsh_topk(embs, queries, k=5).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    got = {(r["query_id"], r["neighbor_id"]) for r in ann}
+    recall = len(truth & got) / len(truth)
+    # single-table SRP-LSH on random-ish vectors: modest but real recall
+    assert recall >= 0.2, recall
+    # every ANN result must be a genuine neighbor computation (same sim
+    # as brute force when the pair appears in both)
+    brute_sims = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in brute}
+    for r in ann:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in brute_sims:
+            assert abs(r["sim"] - brute_sims[key]) < 1e-9
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(spark):
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (0, base + " kilo lima mike november oscar papa"),
+        (1, base + " kilo lima mike november oscar papa"),  # exact dup of 0
+        (2, base + " kilo lima mike november oscar QUEBEC"),  # near dup
+        (3, "totally different words entirely here nothing shared at all ok"),
+        (4, "  " + base.upper() + " KILO LIMA MIKE NOVEMBER OSCAR PAPA  "),
+        #    ^ exact dup of 0 after normalization (case/whitespace)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_known(dup_corpus):
+    got = {r["doc_id"]: r for r in exact_dedup(dup_corpus).collect()}
+    assert not got[0]["is_dup"]
+    assert got[1]["is_dup"] and got[1]["rep_id"] == 0
+    assert got[4]["is_dup"] and got[4]["rep_id"] == 0
+    assert not got[2]["is_dup"]
+    assert not got[3]["is_dup"]
+
+
+def test_jaccard_and_minhash_find_near_dup(dup_corpus):
+    jp = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(dup_corpus, threshold=0.5).collect()
+    }
+    assert (0, 1) in jp and jp[(0, 1)] == 1.0
+    assert (0, 2) in jp and 0.5 <= jp[(0, 2)] < 1.0
+    assert not any(3 in p for p in jp)
+    mh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(dup_corpus, threshold=0.5).collect()
+    }
+    # LSH candidates verified with true jaccard → subset of exact pairs
+    assert set(mh) <= set(jp)
+    assert (0, 1) in mh  # identical docs always collide in every band
+    for k, v in mh.items():
+        assert v == jp[k]

@@ -122,16 +122,24 @@ class ArpaModel:
         return cls(model)
 
     def logprob(self, ngram: tuple[str, ...]) -> float:
+        memo = self.__dict__.setdefault("_memo", {})
+        hit = memo.get(ngram)
+        if hit is not None:
+            return hit
         n = len(ngram)
         entry = self.model.get(n, {}).get(ngram)
         if entry is not None:
-            return entry[0]
-        if n == 1:
-            return self.model[1][(UNK,)][0]
-        # backoff: bow(context) + P(w | shorter context)
-        ctx = self.model.get(n - 1, {}).get(ngram[:-1])
-        bow = ctx[1] if ctx is not None and ctx[1] is not None else 0.0
-        return bow + self.logprob(ngram[1:])
+            out = entry[0]
+        elif n == 1:
+            out = self.model[1][(UNK,)][0]
+        else:
+            # backoff: bow(context) + P(w | shorter context)
+            ctx = self.model.get(n - 1, {}).get(ngram[:-1])
+            bow = ctx[1] if ctx is not None and ctx[1] is not None else 0.0
+            out = bow + self.logprob(ngram[1:])
+        if len(memo) < 5_000_000:
+            memo[ngram] = out
+        return out
 
     def perplexity(self, text: str) -> float:
         """KenLM-style whole-string perplexity; the reference feeds

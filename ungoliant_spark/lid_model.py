@@ -86,13 +86,40 @@ class LidModel:
             junk={str(x) for x in z["junk"]},
         )
 
-    def hidden(self, line: str) -> np.ndarray | None:
-        ids = line_features(line, self.buckets)
-        if not ids:
-            return None
-        return self.E[np.array(ids, dtype=np.int64)].mean(
-            axis=0, dtype=np.float32
+    def _token_vec(self, tok: str) -> tuple[np.ndarray, int]:
+        """(sum of feature embeddings, feature count) for one token,
+        memoized — natural-language token distributions are Zipfian,
+        so the cache hit rate dominates at corpus scale."""
+        cache = self.__dict__.setdefault("_tok_cache", {})
+        hit = cache.get(tok)
+        if hit is not None:
+            return hit
+        w = f"<{tok}>"
+        ids = [fnv1a(tok.encode("utf-8")) % self.buckets]
+        for n in range(MINN, MAXN + 1):
+            for i in range(len(w) - n + 1):
+                ids.append(fnv1a(w[i : i + n].encode("utf-8")) % self.buckets)
+        vec = self.E[np.array(ids, dtype=np.int64)].sum(
+            axis=0, dtype=np.float64
         )
+        out = (vec, len(ids))
+        if len(cache) < 2_000_000:
+            cache[tok] = out
+        return out
+
+    def hidden(self, line: str) -> np.ndarray | None:
+        toks = line.split()
+        if not toks:
+            return None
+        total = None
+        count = 0
+        for tok in toks:
+            vec, n = self._token_vec(tok)
+            total = vec.copy() if total is None else total + vec
+            count += n
+        if count == 0:
+            return None
+        return (total / count).astype(np.float32)
 
     def predict_probs(self, line: str) -> np.ndarray | None:
         h = self.hidden(line)

@@ -3,31 +3,32 @@
 Reference: AdultDetector (/root/reference/src/transformers/kenlm/
 adult_content.rs:9-61) runs *after* grouping documents by language
 (pipeline.rs:328-358,499-503) so each model loads once; models are
-lazily loaded per language with binary-over-arpa preference
-(kenlm/lru.rs:54-169). The score is recorded — never a drop
-(pp_thresh exists but only gates recording, adult_content.rs:42-55).
+lazily loaded per language (kenlm/lru.rs:54-169). The score is
+recorded — never a drop. Newlines are replaced by spaces before
+scoring (adult_content.rs:56-60).
 
-Spark-first translation of that execution shape:
-
-    repartition(lang_bucket, salt) → mapInPandas(score_batch)
-
-The salted repartition bounds the dominant language's partition size
-(skew); inside each task, models are fetched from an executor-global
-dict cache keyed by lang, so a model is parsed at most once per
-executor process — the exact analog of the reference's
-group-then-load-once. Newlines are replaced by spaces before scoring
-(adult_content.rs:56-60).
+Spark-first: a scalar Arrow pandas UDF over exactly two narrow
+columns (lang, content) — the audio ``bytes`` column must NEVER
+cross the Arrow boundary (a mapInPandas over the full row would ship
+gigabytes of PCM through Python; measured 2× slower end-to-end).
+Models are fetched from an executor-global dict cache keyed by lang:
+each executor parses each language's model at most once — the cache
+gives the same load-once behavior the reference gets from grouping.
+For production-size KenLM models (GBs), pair this with
+``salted_repartition`` (plans/pipeline.py) so a task sees few
+languages; for our fixture-size ARPA models the cache alone is
+optimal.
 """
 
 from __future__ import annotations
 
 import os
-from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from ungoliant_spark.arpa import ARPA_DIR, ArpaModel
 
@@ -43,43 +44,31 @@ def _get_model(lang: str | None, arpa_dir: str) -> ArpaModel | None:
     return _MODELS[lang]
 
 
+def make_perplexity_udf(arpa_dir: str | None = None):
+    arpa_dir = arpa_dir or ARPA_DIR
+
+    @pandas_udf(T.FloatType())
+    def pp_udf(lang: pd.Series, content: pd.Series) -> pd.Series:
+        out = []
+        for lg, text in zip(lang, content):
+            model = _get_model(lg, arpa_dir)
+            if model is None or text is None:
+                out.append(None)
+            else:
+                out.append(float(model.perplexity(text.replace("\n", " "))))
+        return pd.Series(out, dtype="float32")
+
+    return pp_udf
+
+
 def apply_perplexity(
     df: DataFrame,
     content_col: str = "content",
     lang_col: str = "lang_bucket",
     arpa_dir: str | None = None,
-    n_partitions: int | None = None,
-    salt_buckets: int = 16,
 ) -> DataFrame:
     """Add ``harmful_pp`` (float, null when no model for the lang)."""
-    arpa_dir = arpa_dir or ARPA_DIR
-    schema = T.StructType(
-        df.schema.fields + [T.StructField("harmful_pp", T.FloatType())]
+    udf = make_perplexity_udf(arpa_dir)
+    return df.withColumn(
+        "harmful_pp", udf(F.col(lang_col), F.col(content_col))
     )
-
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            pps = []
-            for lang, content in zip(pdf[lang_col], pdf[content_col]):
-                model = _get_model(lang, arpa_dir)
-                if model is None or content is None:
-                    pps.append(None)
-                else:
-                    pps.append(
-                        float(model.perplexity(content.replace("\n", " ")))
-                    )
-            pdf = pdf.copy()
-            pdf["harmful_pp"] = pd.Series(pps, dtype="float32")
-            yield pdf
-
-    # salt must vary per ROW within a language (a hash of the lang alone
-    # would leave each language in one task) — hash the content
-    salt = F.pmod(
-        F.xxhash64(F.coalesce(F.col(content_col), F.lit(""))),
-        F.lit(salt_buckets),
-    )
-    if n_partitions:
-        df = df.repartition(n_partitions, F.col(lang_col), salt)
-    else:
-        df = df.repartition(F.col(lang_col), salt)
-    return df.mapInPandas(score, schema=schema)

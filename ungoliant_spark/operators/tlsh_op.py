@@ -74,33 +74,7 @@ def _swap_nibble(b: int) -> int:
     return ((b & 0x0F) << 4) | ((b & 0xF0) >> 4)
 
 
-def tlsh_hash(data: bytes) -> str | None:
-    """T1-prefixed TLSH hex digest, or None for short/low-variance
-    input (the reference's silent failure, lsh.rs:22-37)."""
-    n = len(data)
-    if n < MIN_DATA_LEN:
-        return None
-    a = np.frombuffer(data, dtype=np.uint8)
-    # sliding window of 5: c0 = newest byte, c1..c4 older
-    c0 = a[4:]
-    c1 = a[3:-1]
-    c2 = a[2:-2]
-    c3 = a[1:-3]
-    c4 = a[:-4]
-    buckets = np.zeros(BUCKETS, dtype=np.int64)
-    for salt, x, y in (
-        (2, c1, c2), (3, c1, c3), (5, c2, c3),
-        (7, c2, c4), (11, c1, c4), (13, c3, c4),
-    ):
-        np.add.at(buckets, _b_mapping_vec(salt, c0, x, y), 1)
-    # 3-byte rolling checksum (sequential by construction)
-    cs = [0] * CHECKSUM_LEN
-    vt = _V_TABLE
-    for idx in range(len(c0)):
-        b0, b1 = int(c0[idx]), int(c1[idx])
-        cs[0] = int(vt[vt[vt[0 ^ b0] ^ b1] ^ cs[0]])
-        for k in range(1, CHECKSUM_LEN):
-            cs[k] = int(vt[vt[vt[cs[k - 1] ^ b0] ^ b1] ^ cs[k]])
+def _finalize(buckets: np.ndarray, cs: list[int], n: int) -> str | None:
     nonzero = int((buckets > 0).sum())
     if nonzero <= 4 * CODE_SIZE // 2:  # more than half must be non-zero
         return None
@@ -110,21 +84,14 @@ def tlsh_hash(data: bytes) -> str | None:
     q3 = int(s[3 * BUCKETS // 4 - 1])
     if q3 == 0:
         return None
-    code = np.zeros(CODE_SIZE, dtype=np.uint8)
-    for i in range(CODE_SIZE):
-        byte = 0
-        for j in range(4):
-            cnt = buckets[4 * i + j]
-            if cnt <= q1:
-                bits = 0
-            elif cnt <= q2:
-                bits = 1
-            elif cnt <= q3:
-                bits = 2
-            else:
-                bits = 3
-            byte |= bits << (j * 2)
-        code[i] = byte
+    # bits = #quartile boundaries exceeded (0..3); pack 4 per byte
+    bits = (
+        (buckets > q1).astype(np.uint8)
+        + (buckets > q2).astype(np.uint8)
+        + (buckets > q3).astype(np.uint8)
+    ).reshape(CODE_SIZE, 4)
+    shifts = np.array([0, 2, 4, 6], dtype=np.uint8)
+    code = (bits << shifts).sum(axis=1).astype(np.uint8)
     lvalue = _l_capturing(n)
     q1r = (q1 * 100 // q3) % 16
     q2r = (q2 * 100 // q3) % 16
@@ -133,6 +100,87 @@ def tlsh_hash(data: bytes) -> str | None:
     header.append(_swap_nibble((q1r << 4) | q2r))
     body = code[::-1]  # TLSH emits the code reversed
     return "T1" + bytes(header + list(body)).hex().upper()
+
+
+def tlsh_hash_batch(datas: list[bytes | None]) -> list[str | None]:
+    """Batch TLSH: bucket histograms per doc plus the sequentially-
+    dependent 3-byte checksum vectorized ACROSS the batch (one numpy
+    step per byte position over all docs at once) — this is what makes
+    the Arrow UDF fast; the per-doc recurrence itself cannot be
+    parallelized within a doc."""
+    vt = _V_TABLE
+    idx_valid = [
+        i for i, d in enumerate(datas) if d is not None and len(d) >= MIN_DATA_LEN
+    ]
+    out: list[str | None] = [None] * len(datas)
+    if not idx_valid:
+        return out
+    arrs = [np.frombuffer(datas[i], dtype=np.uint8) for i in idx_valid]
+    lens = np.array([len(a) for a in arrs])
+    nd = len(arrs)
+    # ---- bucket histograms over CONCATENATED bytes (no padding) ----
+    flat = np.concatenate(arrs)
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    # global window positions: for doc d, windows start at
+    # starts[d]..starts[d]+len_d-5 (window = 5 consecutive bytes)
+    win_doc = np.repeat(np.arange(nd), lens - 4)
+    win_pos = (
+        np.arange(len(win_doc))
+        - np.repeat(np.cumsum(np.concatenate(([0], lens[:-1] - 4)))[:nd], lens - 4)
+        + np.repeat(starts, lens - 4)
+    )
+    c0 = flat[win_pos + 4]
+    c1 = flat[win_pos + 3]
+    c2 = flat[win_pos + 2]
+    c3 = flat[win_pos + 1]
+    c4 = flat[win_pos]
+    base = win_doc.astype(np.int64) * BUCKETS
+    hist = np.zeros(nd * BUCKETS, dtype=np.int64)
+    for salt, x, y in (
+        (2, c1, c2), (3, c1, c3), (5, c2, c3),
+        (7, c2, c4), (11, c1, c4), (13, c3, c4),
+    ):
+        b = _b_mapping_vec(salt, c0, x, y)
+        hist += np.bincount(base + b, minlength=nd * BUCKETS)
+    buckets_all = hist.reshape(nd, BUCKETS)
+    # ---- checksum recurrence, batched across length-sorted groups ----
+    cs_out = np.zeros((CHECKSUM_LEN, nd), dtype=np.uint8)
+    order = np.argsort(lens)[::-1]
+    GROUP = 512
+    for g0 in range(0, nd, GROUP):
+        grp = order[g0 : g0 + GROUP]
+        glens = lens[grp]
+        gmax = int(glens.max())
+        mat = np.zeros((len(grp), gmax), dtype=np.uint8)
+        for r, gi in enumerate(grp):
+            mat[r, : lens[gi]] = arrs[gi]
+        cs = np.zeros((CHECKSUM_LEN, len(grp)), dtype=np.uint8)
+        n_windows = glens - 4
+        for pos in range(gmax - 4):
+            active = n_windows > pos
+            if not active.any():
+                break
+            b0 = mat[:, pos + 4]
+            b1 = mat[:, pos + 3]
+            inner0 = vt[vt[b0] ^ b1]  # b_mapping(0, b0, b1, ·) prefix
+            cs[0] = np.where(active, vt[inner0 ^ cs[0]], cs[0])
+            for k in range(1, CHECKSUM_LEN):
+                innerk = vt[vt[cs[k - 1] ^ b0] ^ b1]
+                cs[k] = np.where(active, vt[innerk ^ cs[k]], cs[k])
+        cs_out[:, grp] = cs
+    for r, i in enumerate(idx_valid):
+        out[i] = _finalize(
+            buckets_all[r],
+            [int(cs_out[k, r]) for k in range(CHECKSUM_LEN)],
+            int(lens[r]),
+        )
+    return out
+
+
+def tlsh_hash(data: bytes | None) -> str | None:
+    """T1-prefixed TLSH hex digest, or None for short/low-variance
+    input (the reference's silent failure, lsh.rs:22-37)."""
+    return tlsh_hash_batch([data])[0]
 
 
 _BIT_PAIR_DIFF = None
@@ -183,9 +231,10 @@ def distance(h1: str, h2: str, len_diff: bool = True) -> int:
 
 @pandas_udf(T.StringType())
 def tlsh_udf(content: pd.Series) -> pd.Series:
-    return content.map(
-        lambda s: tlsh_hash(s.encode("utf-8")) if s is not None else None
-    )
+    datas = [
+        s.encode("utf-8") if s is not None else None for s in content
+    ]
+    return pd.Series(tlsh_hash_batch(datas), index=content.index)
 
 
 def apply_tlsh(df: DataFrame, content_col: str = "content") -> DataFrame:

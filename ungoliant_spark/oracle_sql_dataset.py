@@ -1,0 +1,243 @@
+"""DuckDB oracle SQL for the dedup / similarity / text-analysis
+queries (plans/dataset_queries.py). Each statement independently
+recomputes the operator semantics with DuckDB list functions and the
+portable md5-prefix hash."""
+
+from __future__ import annotations
+
+from ungoliant_spark.functions.textstats import STOPWORDS
+from ungoliant_spark.operators.dedup import MERSENNE, N_BANDS, N_PERMS, PERMS
+
+H64 = "(('0x' || substr(md5({0}), 1, 15))::BIGINT)"
+NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+TOKENS = (
+    "list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'),"
+    " x -> x <> '')"
+)
+
+# distinct word-3-gram hashes
+SHINGLES = f"""
+CASE WHEN len(toks) >= 3 THEN
+  list_distinct(list_transform(
+    list_transform(range(1, len(toks) - 3 + 2),
+                   i -> array_to_string(toks[i:i+2], ' ')),
+    g -> {H64.format('g')}))
+ELSE [ {H64.format("array_to_string(toks, ' ')")} ]
+END
+"""
+
+
+def oracle_dedup_exact() -> str:
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, {H64.format(NORM)} AS fingerprint FROM documents
+)
+SELECT doc_id, fingerprint,
+  min(doc_id) OVER (PARTITION BY fingerprint) AS rep_id,
+  doc_id <> min(doc_id) OVER (PARTITION BY fingerprint) AS is_dup
+FROM keyed
+"""
+
+
+_SHINGLE_BASE = f"""
+WITH toked AS (
+  SELECT doc_id, {TOKENS} AS toks FROM documents
+), shingled AS (
+  SELECT doc_id, ({SHINGLES}) AS shingles FROM toked
+)
+"""
+
+
+def oracle_dedup_jaccard(threshold: float = 0.5) -> str:
+    return (
+        _SHINGLE_BASE
+        + f"""
+, pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS n_common,
+         len(a.shingles) AS size_a, len(b.shingles) AS size_b
+  FROM shingled a, shingled b
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+  round(CAST(n_common AS DOUBLE) / (size_a + size_b - n_common), 6) AS jaccard
+FROM pairs
+WHERE n_common > 0
+  AND CAST(n_common AS DOUBLE) / (size_a + size_b - n_common) >= {threshold}
+"""
+    )
+
+
+def _sig_exprs() -> str:
+    outs = []
+    for a, b in PERMS:
+        outs.append(
+            f"list_aggregate(list_transform(shingles,"
+            f" h -> ({a} * (h % {MERSENNE}) + {b}) % {MERSENNE}), 'min')"
+        )
+    return "[" + ", ".join(outs) + "]"
+
+
+def oracle_dedup_minhash(threshold: float = 0.5) -> str:
+    rpb = N_PERMS // N_BANDS
+    band_keys = []
+    for bi in range(N_BANDS):
+        parts = " || '_' || ".join(
+            f"CAST(sig[{bi * rpb + r + 1}] AS VARCHAR)" for r in range(rpb)
+        )
+        band_keys.append(
+            f"struct_pack(band := {bi}, bkey := {H64.format('(' + parts + ')')})"
+        )
+    return (
+        _SHINGLE_BASE
+        + f"""
+, sigs AS (
+  SELECT doc_id, shingles, {_sig_exprs()} AS sig FROM shingled
+), banded AS (
+  SELECT doc_id, shingles, unnest([{', '.join(band_keys)}]) AS bh FROM sigs
+), flat AS (
+  SELECT doc_id, shingles, bh.band AS band, bh.bkey AS bkey FROM banded
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM flat a JOIN flat b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+), scored AS (
+  SELECT c.id_a, c.id_b,
+    len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS n_common,
+    len(sa.shingles) AS size_a, len(sb.shingles) AS size_b
+  FROM cand c
+  JOIN shingled sa ON sa.doc_id = c.id_a
+  JOIN shingled sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b,
+  round(CAST(n_common AS DOUBLE) / (size_a + size_b - n_common), 6) AS jaccard
+FROM scored
+WHERE CAST(n_common AS DOUBLE) / (size_a + size_b - n_common) >= {threshold}
+"""
+    )
+
+
+def oracle_simhash() -> str:
+    return f"""
+WITH toked AS (
+  SELECT doc_id, {TOKENS} AS toks FROM documents
+), hashes AS (
+  SELECT doc_id, list_transform(toks, t -> {H64.format('t')}) AS hs FROM toked
+), exploded AS (
+  SELECT doc_id, unnest(hs) AS h FROM hashes
+), votes AS (
+  SELECT e.doc_id, r.b,
+         sum(CASE WHEN (e.h >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM exploded e, range(0, 63) r(b)
+  GROUP BY e.doc_id, r.b
+), sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(sh.simhash, 0)::BIGINT AS simhash
+FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+"""
+
+
+def oracle_knn_cosine(n_query: int = 20, k: int = 5) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {n_query}
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+), s AS (
+  SELECT query_id, neighbor_id,
+    round(list_dot_product(qv, cv) /
+          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+          6) AS sim
+  FROM q, c WHERE query_id <> neighbor_id
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, sim
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _stop_hits(lang: str) -> str:
+    lit = "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+    return f"len(list_filter(toks, t -> list_contains({lit}, t)))"
+
+
+def oracle_text_stats() -> str:
+    hits_total = " + ".join(_stop_hits(lg) for lg in STOPWORDS)
+    guess = "NULL"
+    for lg in reversed(list(STOPWORDS)):
+        guess = (
+            f"CASE WHEN s_{lg} = mx THEN '{lg}' ELSE {guess} END"
+        )
+    stop_cols = ", ".join(
+        f"{_stop_hits(lg)} AS s_{lg}" for lg in STOPWORDS
+    )
+    return f"""
+WITH toked AS (
+  SELECT doc_id, text, {TOKENS} AS toks FROM documents
+), stats AS (
+  SELECT doc_id, text, toks,
+    len(toks) AS n_tokens,
+    {H64.format(NORM)} AS fingerprint,
+    {stop_cols},
+    CASE WHEN length(text) > 0 THEN
+      CAST(length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{M}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE) / length(text)
+    ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(toks) > 0 THEN
+      CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+    ELSE 0.0 END AS mean_token_len,
+    CASE WHEN len(toks) > 0 THEN
+      CAST({hits_total} AS DOUBLE) / len(toks)
+    ELSE 0.0 END AS stopword_ratio
+  FROM toked
+), guessed AS (
+  SELECT *, greatest(s_en, s_fr, s_de, s_es) AS mx FROM stats
+)
+SELECT doc_id, n_tokens, fingerprint,
+  CASE WHEN mx > 0 THEN {guess} END AS lang_guess,
+  round(punct_ratio, 6) AS punct_ratio,
+  round(mean_token_len, 6) AS mean_token_len,
+  round(stopword_ratio, 6) AS stopword_ratio,
+  round(0.3 * least(n_tokens / 50.0, 1.0)
+      + 0.3 * (1.0 - least(punct_ratio / 0.3, 1.0))
+      + 0.2 * least(stopword_ratio / 0.2, 1.0)
+      + 0.2 * (1.0 - least(abs(mean_token_len - 5.0) / 5.0, 1.0)), 6)
+    AS quality_score
+FROM guessed
+"""
+
+
+def oracle_quality_by_source() -> str:
+    return f"""
+WITH toked AS (
+  SELECT doc_id, source, text, {TOKENS} AS toks FROM documents
+), stats AS (
+  SELECT source,
+    len(toks) AS n_tokens,
+    CASE WHEN length(text) > 0 THEN
+      CAST(length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{M}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE) / length(text)
+    ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(toks) > 0 THEN
+      CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+    ELSE 0.0 END AS mean_token_len,
+    CASE WHEN len(toks) > 0 THEN
+      CAST({' + '.join(_stop_hits(lg) for lg in STOPWORDS)} AS DOUBLE) / len(toks)
+    ELSE 0.0 END AS stopword_ratio
+  FROM toked
+)
+SELECT source,
+  round(avg(round(0.3 * least(n_tokens / 50.0, 1.0)
+      + 0.3 * (1.0 - least(punct_ratio / 0.3, 1.0))
+      + 0.2 * least(stopword_ratio / 0.2, 1.0)
+      + 0.2 * (1.0 - least(abs(mean_token_len - 5.0) / 5.0, 1.0)), 6)), 6)
+    AS avg_quality,
+  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM stats GROUP BY source
+"""

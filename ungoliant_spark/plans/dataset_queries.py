@@ -1,0 +1,81 @@
+"""Driver-contract queries for the training-data ops: dedup,
+similarity search, text analysis — over the shared documents /
+embeddings test tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ungoliant_spark.functions import textstats as ts
+from ungoliant_spark.operators import dedup as dd
+from ungoliant_spark.operators import similarity as sim
+
+N_QUERY_VECS = 20
+TOPK = 5
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    return df.select(
+        "doc_id", dd.simhash63(F.col("text")).alias("simhash")
+    )
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < N_QUERY_VECS)
+    return sim.cosine_topk(embs, queries, k=TOPK)
+
+
+def q_knn_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN — rows-only check (approximation by design);
+    recall vs the exact baseline is asserted in tests."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < N_QUERY_VECS)
+    return sim.ann_lsh_topk(embs, queries, k=TOPK)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        ts.token_count(t).alias("n_tokens"),
+        ts.fingerprint(t).alias("fingerprint"),
+        ts.lang_guess(t).alias("lang_guess"),
+        F.round(ts.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(ts.mean_token_len(t), 6).alias("mean_token_len"),
+        F.round(ts.stopword_ratio(t), 6).alias("stopword_ratio"),
+        ts.quality_score(t).alias("quality_score"),
+    )
+
+
+def q_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation over the quality score — partial-agg groupBy."""
+    df = _docs(spark, sf_dir)
+    return df.groupBy("source").agg(
+        F.round(F.avg(ts.quality_score(F.col("text"))), 6).alias(
+            "avg_quality"
+        ),
+        F.sum(ts.token_count(F.col("text")).cast("long")).alias("sum_tokens"),
+    )

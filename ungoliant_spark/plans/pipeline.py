@@ -112,14 +112,14 @@ def kept_output(
     df_decided: DataFrame, n_partitions: int | None = None
 ) -> DataFrame:
     """Kept rows + the model annotators that only run on survivors:
-    TLSH over content, then per-language perplexity (whose salted
-    repartition doubles as the sort_by_lang write partitioning).
-    ``bytes`` passes through untouched from the scan."""
+    TLSH + per-language perplexity (both narrow-column Arrow UDFs —
+    ``bytes`` never crosses into Python), then the salted
+    sort_by_lang repartition for the partitioned write."""
     kept = df_decided.filter(F.col("keep"))
     kept = apply_tlsh(kept, "content")
-    kept = apply_perplexity(
-        kept, "content", "lang_bucket", n_partitions=n_partitions
-    )
+    kept = apply_perplexity(kept, "content", "lang_bucket")
+    if n_partitions:
+        kept = salted_repartition(kept, n_partitions)
     return kept.select(
         *[
             F.col("scrubbed").alias("transcript") if c == "transcript" else c

@@ -18,6 +18,10 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
+    # one task = one core: multi-threaded BLAS inside every Python UDF
+    # worker oversubscribes the box (32 workers × 32 BLAS threads)
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
@@ -33,7 +37,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # large transcripts: bound Arrow batch memory in UDF stages
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # clips carry multi-KB..multi-MB binary audio: the default 4096-row
+        # columnar reader batch OOMs on wide binary columns — bound it
+        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
+        # local-mode driver == the whole JVM: with 32 task threads over
+        # multi-KB binary rows an 8g heap GC-thrashes (measured: 32 cores
+        # ran 2× SLOWER than 8). Size like an executor fleet instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

@@ -385,8 +385,10 @@ def generate(
         if labels_writer is not None:
             lchunk.append(label_row(row["clip_id"], row["transcript"]))
         if len(chunk) >= 4000:
+            # modest row groups: rows carry multi-KB binary audio
             clips_writer.write_table(
-                pa.Table.from_pylist(chunk, schema=CLIPS_SCHEMA)
+                pa.Table.from_pylist(chunk, schema=CLIPS_SCHEMA),
+                row_group_size=512,
             )
             chunk = []
             if labels_writer is not None:
