@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ungoliant_spark import oracle_sql as osql
 from ungoliant_spark import oracle_sql_dataset as osqld
+from ungoliant_spark.plans import clips_queries as cq
 from ungoliant_spark.plans import dataset_queries as dsq
 from ungoliant_spark.plans import document_queries as dq
 
@@ -40,6 +41,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ann_lsh": dsq.q_knn_ann_lsh,  # rows-only (approximate)
         "text_stats": dsq.q_text_stats,
         "quality_by_source": dsq.q_quality_by_source,
+        "zipf_check": dsq.q_zipf_check,
+        "events_hourly": dsq.q_events_hourly,
+        "events_running_avg": dsq.q_events_running_avg,
+        # clips-table model/binary ops (rows-only; gated in tests/)
+        "clips_decisions": cq.q_clips_decisions,
+        "clips_kept": cq.q_clips_kept,
+        "audio_stats": cq.q_audio_stats,
+        "audio_resample": cq.q_audio_resample,
+        "lid_documents": cq.q_lid_documents,
     }
 
 
@@ -58,4 +68,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine": osqld.oracle_knn_cosine(),
         "text_stats": osqld.oracle_text_stats(),
         "quality_by_source": osqld.oracle_quality_by_source(),
+        "zipf_check": osqld.oracle_zipf_check(),
+        "events_hourly": osqld.oracle_events_hourly(),
+        "events_running_avg": osqld.oracle_events_running_avg(),
     }

@@ -61,3 +61,17 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
     assert "keep" in df.columns
+
+
+ROWS_ONLY = sorted(
+    set(entrymod.queries()) - set(entrymod.oracle_sql())
+)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    """Queries without a SQL oracle still must run and produce a
+    stable schema at the smoke scale (the driver's weaker check)."""
+    df = entrymod.queries()[name](spark, "/root/testdata/sf0.001")
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0

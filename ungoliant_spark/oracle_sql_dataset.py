@@ -214,6 +214,47 @@ FROM guessed
 """
 
 
+def oracle_zipf_check() -> str:
+    return f"""
+WITH words AS (
+  SELECT unnest({TOKENS}) AS word FROM documents
+), counts AS (
+  SELECT word, count(*) AS n FROM words GROUP BY word
+), total AS (
+  SELECT sum(n) AS total FROM counts
+), ranked AS (
+  SELECT word, n,
+    CAST(row_number() OVER (ORDER BY n DESC, word ASC) AS INTEGER) AS rank
+  FROM counts
+)
+SELECT word, CAST(n AS BIGINT) AS n, rank,
+  round(CAST(n AS DOUBLE) / total, 6) AS prob,
+  round(rank * CAST(n AS DOUBLE) / total, 6) AS zipf_constant
+FROM ranked, total WHERE rank <= 100
+"""
+
+
+def oracle_events_hourly() -> str:
+    return """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(sum(value), 6) AS sum_value,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+def oracle_events_running_avg() -> str:
+    return """
+SELECT event_id, user_id,
+  round(avg(value) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS running_avg
+FROM events WHERE user_id < 100
+"""
+
+
+
 def oracle_quality_by_source() -> str:
     return f"""
 WITH toked AS (

@@ -4,7 +4,7 @@ embeddings test tables."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ungoliant_spark.functions import textstats as ts
@@ -68,6 +68,61 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ts.stopword_ratio(t), 6).alias("stopword_ratio"),
         ts.quality_score(t).alias("quality_score"),
     )
+
+
+def q_zipf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-frequency corpus validation — the reference's Zipf check
+    (/root/reference/src/processing/check.rs:14-100: unicode words,
+    lowercased, rank/prob/constant per word). Top-100 by count with
+    deterministic (count desc, word asc) ranking."""
+    df = _docs(spark, sf_dir)
+    words = df.select(
+        F.explode(ts.tokens_of(F.col("text"))).alias("word")
+    )
+    counts = words.groupBy("word").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    w = Window.orderBy(F.desc("n"), F.asc("word"))
+    ranked = counts.withColumn("rank", F.row_number().over(w))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("prob", F.round(F.col("n") / F.col("total"), 6))
+        .withColumn(
+            "zipf_constant", F.round(F.col("rank") * F.col("n") / F.col("total"), 6)
+        )
+        .filter(F.col("rank") <= 100)
+        .select("word", F.col("n").cast("long").alias("n"), "rank", "prob", "zipf_constant")
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed event aggregation (batch twin of the streaming job in
+    ungoliant_spark/streaming)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+def q_events_running_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running mean over the last 4 events (cross-row window
+    function — an operator class the reference lacks, §2.9)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 0)
+    )
+    out = ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("running_avg"),
+    )
+    return out.filter(F.col("user_id") < 100)
 
 
 def q_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:

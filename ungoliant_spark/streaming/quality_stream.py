@@ -1,0 +1,214 @@
+"""Structured Streaming surface of the engine.
+
+Three streaming capabilities (SURVEY.md §2.9 notes the reference has
+none — resumability there is file-level idempotence; here the same
+quality-filter DAG runs incrementally with exactly-once sinks):
+
+* ``stream_quality_filter`` — the full clips pipeline as a streaming
+  job: file-source micro-batches → decide() (all stages are
+  stateless per-row, so the whole DAG is streaming-compatible) →
+  partitioned parquet sink with checkpointing. Restart-safe via the
+  sink/checkpoint pair, complementing the batch snapshot tables.
+* ``stream_events_hourly`` — watermarked windowed aggregation with
+  late-data tolerance (the batch twin is q_events_hourly, which the
+  test compares against).
+* ``sessionize_events`` — custom stateful operator via
+  ``applyInPandasWithState``: per-user sessions closed after a gap
+  timeout — state the built-in operators can't express.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ungoliant_spark.plans.pipeline import decide
+
+CLIPS_SCHEMA_DDL = (
+    "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+    "codec string, transcript string, case_class string"
+)
+
+
+def stream_quality_filter(
+    spark: SparkSession,
+    clips_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    term_to_category: dict[str, str] | None = None,
+    max_files_per_trigger: int = 1,
+):
+    """Returns the started StreamingQuery writing kept rows."""
+    src = (
+        spark.readStream.schema(CLIPS_SCHEMA_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(clips_dir)
+    )
+    decided = decide(src, term_to_category)
+    kept = decided.filter(F.col("keep")).select(
+        "clip_id",
+        "bytes",
+        "sr_hz",
+        "dur_ms",
+        "codec",
+        F.col("scrubbed").alias("transcript"),
+        "lang",
+        "lang_prob",
+        "quality_warnings",
+        "categories",
+        "line_start",
+        "line_end",
+        "lang_bucket",
+    )
+    return (
+        kept.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("lang_bucket")
+        .outputMode("append")
+        .start()
+    )
+
+
+def stream_events_hourly(
+    spark: SparkSession,
+    events_dir: str,
+    watermark: str = "2 hours",
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Watermarked hourly windowed aggregation (un-started stream)."""
+    src = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+    )
+    return (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("end_ms", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+    ]
+)
+
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def _sessionize_group(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+):
+    """Emit closed sessions; keep the open one in state. Sessions
+    close when a 30-minute event gap is observed (or on state
+    timeout)."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        if state.exists:
+            start_ms, end_ms, n, s = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "session_start": pd.Timestamp(start_ms, unit="ms"),
+                        "session_end": pd.Timestamp(end_ms, unit="ms"),
+                        "n_events": n,
+                        "sum_value": s,
+                    }
+                ]
+            )
+        return
+    rows = pd.concat(list(pdfs)).sort_values("ts")
+    if state.exists:
+        start_ms, end_ms, n, s = state.get
+    else:
+        start_ms = end_ms = None
+        n, s = 0, 0.0
+    closed = []
+    for ts, value in zip(rows["ts"], rows["value"]):
+        t_ms = int(pd.Timestamp(ts).value // 1_000_000)
+        if start_ms is None:
+            start_ms, end_ms, n, s = t_ms, t_ms, 1, float(value)
+        elif t_ms - end_ms > SESSION_GAP_MS:
+            closed.append((start_ms, end_ms, n, s))
+            start_ms, end_ms, n, s = t_ms, t_ms, 1, float(value)
+        else:
+            end_ms = max(end_ms, t_ms)
+            n += 1
+            s += float(value)
+    state.update((start_ms, end_ms, n, s))
+    if closed:
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "session_start": pd.Timestamp(a, unit="ms"),
+                    "session_end": pd.Timestamp(b, unit="ms"),
+                    "n_events": nn,
+                    "sum_value": ss,
+                }
+                for a, b, nn, ss in closed
+            ]
+        )
+
+
+def sessionize_events(
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Custom stateful sessionization stream (un-started)."""
+    src = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+    )
+    # NoTimeout: sessions close only on an observed 30-min gap; the
+    # final open session stays in state (a ProcessingTimeTimeout
+    # variant keeps scheduling timer micro-batches, which makes
+    # processAllAvailable spin forever in tests)
+    return src.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
