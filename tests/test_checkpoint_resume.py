@@ -68,6 +68,30 @@ def test_lineage_rebuild_roundtrip(spark, clips):
     assert mismatches.count() == 0
 
 
+def test_snapshot_checksums(spark, clips):
+    run = CheckpointedRun(OUT)  # committed by the first test
+    assert run.kept.verify_checksums() == []
+    # corrupt one data file → detected
+    import glob
+    import os
+
+    victim = sorted(
+        glob.glob(os.path.join(run.kept.root, "data", "**", "*.parquet"),
+                  recursive=True)
+    )[0]
+    orig = open(victim, "rb").read()
+    try:
+        with open(victim, "r+b") as f:
+            f.seek(10)
+            f.write(b"\x00\x01\x02")
+        bad = run.kept.verify_checksums()
+        assert len(bad) == 1 and bad[0] in victim
+    finally:
+        with open(victim, "wb") as f:
+            f.write(orig)
+    assert run.kept.verify_checksums() == []
+
+
 def test_metrics_table(spark, clips):
     run = CheckpointedRun(OUT)
     m = run.metrics.read(spark)

@@ -35,6 +35,16 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _sha256(path: str) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for block in iter(lambda: f.read(1 << 20), b""):
+            h.update(block)
+    return h.hexdigest()
+
+
 class SnapshotTable:
     def __init__(self, root: str):
         self.root = os.path.abspath(root)
@@ -78,6 +88,17 @@ class SnapshotTable:
         new_files = sorted(
             glob.glob(os.path.join(stage, "**", "*.parquet"), recursive=True)
         )
+        # per-file sha256 + size recorded in the manifest — the analog
+        # of the reference's packaging checksums (src/processing/
+        # package.rs:23-62 writes sha256sum-compatible files per lang);
+        # here integrity travels with the snapshot itself
+        checksums = {
+            os.path.relpath(p, self.root): {
+                "sha256": _sha256(p),
+                "bytes": os.path.getsize(p),
+            }
+            for p in new_files
+        }
         prev_files = snap["files"] if snap else []
         prev_chunks = snap["summary"]["chunks"] if snap else []
         version = (snap["version"] + 1) if snap else 1
@@ -88,6 +109,10 @@ class SnapshotTable:
                 "chunks": sorted(set(prev_chunks) | {chunk_id}),
                 "committed_at": time.time(),
                 "added_files": len(new_files),
+            },
+            "checksums": {
+                **(snap.get("checksums", {}) if snap else {}),
+                **checksums,
             },
         }
         name = f"v{version:06d}.json"
@@ -107,6 +132,19 @@ class SnapshotTable:
         if not files:
             raise FileNotFoundError(f"no committed snapshot in {self.root}")
         return spark.read.parquet(*files)
+
+    def verify_checksums(self) -> list[str]:
+        """Re-hash every committed data file against the manifest;
+        returns the list of corrupted/missing files (empty = intact)."""
+        snap = self.current_snapshot()
+        if not snap:
+            return []
+        bad = []
+        for rel, meta in snap.get("checksums", {}).items():
+            p = os.path.join(self.root, rel)
+            if not os.path.exists(p) or _sha256(p) != meta["sha256"]:
+                bad.append(rel)
+        return bad
 
     def snapshots(self) -> list[dict]:
         out = []
