@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dsq.q_dedup_exact,
         "dedup_jaccard": dsq.q_dedup_jaccard,
         "dedup_minhash": dsq.q_dedup_minhash,
+        "dedup_embedding": dsq.q_dedup_embedding,
         "simhash": dsq.q_simhash,
         "knn_cosine": dsq.q_knn_cosine,
         "knn_ann_lsh": dsq.q_knn_ann_lsh,  # rows-only (approximate)
@@ -64,6 +65,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": osqld.oracle_dedup_exact(),
         "dedup_jaccard": osqld.oracle_dedup_jaccard(),
         "dedup_minhash": osqld.oracle_dedup_minhash(),
+        "dedup_embedding": osqld.oracle_dedup_embedding(0.5),
         "simhash": osqld.oracle_simhash(),
         "knn_cosine": osqld.oracle_knn_cosine(),
         "text_stats": osqld.oracle_text_stats(),

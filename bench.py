@@ -41,8 +41,14 @@ def main() -> None:
                       shuffle_partitions=2 * cpus)
     import __spark_entry__ as entrymod
 
+    # clips_decisions / clips_kept re-run the same DAG the timed
+    # clips_pipeline leg below already measures through a real sink —
+    # excluded to keep the headline non-redundant
+    skip = {"clips_decisions", "clips_kept"}
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
+        if name in skip:
+            continue
         t0 = time.time()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
@@ -51,6 +57,17 @@ def main() -> None:
     # clips pipeline leg: full run through a real partitioned sink
     from ungoliant_spark.plans.pipeline import run as pipeline_run
 
+    # scan-split sizing: the default 128 MB splits cap the pre-shuffle
+    # stages at input_size/128MB tasks (~13 at sf0.1) — far below 4N
+    # cores. Aim for ~3 waves per core, floor 16 MB.
+    import glob
+
+    clips_bytes = sum(
+        os.path.getsize(p)
+        for p in glob.glob(f"{clips_dir}/clips.parquet")
+    )
+    split = max(16 << 20, clips_bytes // (3 * cpus) or (128 << 20))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
     clips = spark.read.parquet(f"{clips_dir}/clips.parquet")
     n_clips = clips.count()
     sink = os.path.abspath(".cache/bench_sink")

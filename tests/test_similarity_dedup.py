@@ -35,6 +35,29 @@ def test_ann_recall_vs_brute(spark):
             assert abs(r["sim"] - brute_sims[key]) < 1e-9
 
 
+def test_embedding_near_dup_constructed(spark):
+    import numpy as np
+
+    from ungoliant_spark.operators.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(64).astype("float32")
+    near = (base + 0.05 * rng.standard_normal(64).astype("float32"))
+    far = rng.standard_normal(64).astype("float32")
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in near]),
+        (2, [float(x) for x in far]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in embedding_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    assert set(pairs) == {(0, 1)}
+    assert pairs[(0, 1)] >= 0.95
+
+
 @pytest.fixture(scope="module")
 def dup_corpus(spark):
     base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"

@@ -94,11 +94,29 @@ class LidModel:
         hit = cache.get(tok)
         if hit is not None:
             return hit
-        w = f"<{tok}>"
-        ids = [fnv1a(tok.encode("utf-8")) % self.buckets]
-        for n in range(MINN, MAXN + 1):
-            for i in range(len(w) - n + 1):
-                ids.append(fnv1a(w[i : i + n].encode("utf-8")) % self.buckets)
+        if "ft_words" in self.__dict__:
+            # real fastText .bin: dictionary word ids + offset subword
+            # buckets with fastText's signed-char hash
+            from ungoliant_spark.fasttext_bin import ft_subword_ids
+
+            ids = ft_subword_ids(
+                tok,
+                self.__dict__["ft_words"],
+                self.__dict__["ft_word_offset"],
+                self.__dict__["ft_bucket"],
+                self.__dict__["ft_minn"],
+                self.__dict__["ft_maxn"],
+            )
+            if not ids:
+                out = (np.zeros(self.E.shape[1], dtype=np.float64), 0)
+                cache[tok] = out
+                return out
+        else:
+            w = f"<{tok}>"
+            ids = [fnv1a(tok.encode("utf-8")) % self.buckets]
+            for n in range(MINN, MAXN + 1):
+                for i in range(len(w) - n + 1):
+                    ids.append(fnv1a(w[i : i + n].encode("utf-8")) % self.buckets)
         vec = self.E[np.array(ids, dtype=np.int64)].sum(
             axis=0, dtype=np.float64
         )
@@ -125,26 +143,51 @@ class LidModel:
         h = self.hidden(line)
         if h is None:
             return None
-        logits = (h @ self.W + self.b).astype(np.float32)
+        logits = h.astype(np.float64) @ self.W.astype(np.float64) + self.b
         logits -= logits.max()
-        p = np.exp(logits, dtype=np.float32)
-        return p / p.sum(dtype=np.float32)
+        p = np.exp(logits)
+        return (p / p.sum()).astype(np.float32)
+
+    def predict_batch(
+        self, lines: list[str], threshold: float = 0.8
+    ) -> list[tuple[str, float] | None]:
+        """Vectorized k=1 prediction for a batch of lines: hidden
+        vectors are assembled per line (token-sum cache), then ONE
+        (n×dim)·(dim×classes) float64 matmul + row softmax scores the
+        whole batch — the per-row-Python-free hot path used by the
+        Spark UDF. Semantics identical to FastText::predict_one
+        (model.rs:64-89): below-threshold or junk-class argmax → None.
+        """
+        idx: list[int] = []
+        hs: list[np.ndarray] = []
+        out: list[tuple[str, float] | None] = [None] * len(lines)
+        for i, line in enumerate(lines):
+            h = self.hidden(line)
+            if h is not None:
+                idx.append(i)
+                hs.append(h)
+        if not hs:
+            return out
+        H = np.stack(hs).astype(np.float64)
+        logits = H @ self.W.astype(np.float64) + self.b
+        logits -= logits.max(axis=1, keepdims=True)
+        p = np.exp(logits)
+        p /= p.sum(axis=1, keepdims=True)
+        best = p.argmax(axis=1)
+        probs = p[np.arange(len(best)), best].astype(np.float32)
+        for row, i in enumerate(idx):
+            label = self.labels[int(best[row])]
+            prob = float(probs[row])
+            if label in self.junk or prob < threshold:
+                continue
+            out[i] = (label, prob)
+        return out
 
     def predict_one(
         self, line: str, threshold: float = 0.8
     ) -> tuple[str, float] | None:
-        """k=1 prediction with prob threshold, mirroring
-        FastText::predict_one (model.rs:64-89): below-threshold (or
-        junk-class argmax, our gibberish bin) → None."""
-        p = self.predict_probs(line)
-        if p is None:
-            return None
-        i = int(np.argmax(p))
-        label = self.labels[i]
-        prob = float(p[i])
-        if label in self.junk or prob < threshold:
-            return None
-        return label, prob
+        """Single-line convenience wrapper over predict_batch."""
+        return self.predict_batch([line], threshold)[0]
 
 
 def train(

@@ -67,8 +67,12 @@ def _stats_one(data: bytes, codec: str, sr: int) -> dict:
     rms = float(np.sqrt((x**2).mean()))
     peak = int(np.abs(pcm).max())
     zcr = float((np.abs(np.diff(np.signbit(x).astype(np.int8))) > 0).mean())
-    spec = np.abs(np.fft.rfft(x))
-    freqs = np.fft.rfftfreq(n, d=1.0 / sr)
+    # centroid from a bounded head segment: an O(n log n) FFT over a
+    # multi-minute clip buys no precision for a summary statistic and
+    # would let rare huge clips dominate task time (skew)
+    seg = x[: min(n, 1 << 16)]
+    spec = np.abs(np.fft.rfft(seg))
+    freqs = np.fft.rfftfreq(len(seg), d=1.0 / sr)
     denom = float(spec.sum())
     centroid = float((freqs * spec).sum() / denom) if denom > 0 else 0.0
     bounds = np.linspace(0, n, N_FRAMES + 1, dtype=int)

@@ -77,11 +77,22 @@ _MODEL = None  # per-executor-process lazy singleton
 
 
 def _get_model():
+    """Per-executor model: the committed fixture npz by default; set
+    UNGOLIANT_LID_BIN=/path/lid.176.bin to run the real fastText
+    weights through the same inference code (fasttext_bin.py)."""
     global _MODEL
     if _MODEL is None:
-        from ungoliant_spark.lid_model import LidModel
+        import os
 
-        _MODEL = LidModel.load()
+        bin_path = os.environ.get("UNGOLIANT_LID_BIN")
+        if bin_path:
+            from ungoliant_spark.fasttext_bin import load_fasttext_bin
+
+            _MODEL = load_fasttext_bin(bin_path)
+        else:
+            from ungoliant_spark.lid_model import LidModel
+
+            _MODEL = LidModel.load()
     return _MODEL
 
 
@@ -123,16 +134,17 @@ def strict_multilingual(line_ids: list[tuple[str, float] | None]) -> bool:
     return True
 
 
-def identify_doc(lines: list[str]) -> tuple:
-    """weighted_ids + multilingual check + doc vote for one document.
-    Returns (lang|None, prob|None, sentence_langs, multilingual)."""
-    model = _get_model()
+def _doc_from_preds(
+    stripped_lines: list[str],
+    preds: list[tuple[str, float] | None],
+) -> tuple:
+    """weighted_ids + multilingual check + doc vote given per-line
+    predictions. Returns (lang|None, prob|None, sentence_langs,
+    multilingual)."""
     bins: dict[str | None, list] = {}
     total = 0
     line_ids: list[tuple[str, float] | None] = []
-    for line in lines:
-        stripped = line.replace("\x00", "")
-        pred = model.predict_one(stripped, threshold=LID_LINE_THRESHOLD)
+    for stripped, pred in zip(stripped_lines, preds):
         if pred is not None:
             label, prob = to_bcp47(pred[0]), np.float32(pred[1])
             line_ids.append((label, float(prob)))
@@ -171,13 +183,36 @@ def identify_doc(lines: list[str]) -> tuple:
     return label, float(conf), sentence_langs, False
 
 
+def identify_doc(lines: list[str]) -> tuple:
+    """Single-document convenience/oracle path (same math as the
+    batched UDF: both go through LidModel.predict_batch)."""
+    model = _get_model()
+    stripped = [ln.replace("\x00", "") for ln in lines]
+    preds = model.predict_batch(stripped, threshold=LID_LINE_THRESHOLD)
+    return _doc_from_preds(stripped, preds)
+
+
 @pandas_udf(LID_RESULT_T)
 def lid_udf(lines_series: pd.Series) -> pd.DataFrame:
+    """Batched LID: all lines of the whole Arrow batch are scored in
+    ONE matmul (LidModel.predict_batch), then regrouped per document
+    — no per-row model invocation."""
+    model = _get_model()
+    docs: list[list[str]] = [
+        [
+            ln.replace("\x00", "")
+            for ln in (lines if lines is not None else [])
+        ]
+        for lines in lines_series
+    ]
+    flat = [ln for doc in docs for ln in doc]
+    flat_preds = model.predict_batch(flat, threshold=LID_LINE_THRESHOLD)
     langs, probs, slangs, multis = [], [], [], []
-    for lines in lines_series:
-        lang, prob, sl, multi = identify_doc(
-            list(lines) if lines is not None else []
-        )
+    pos = 0
+    for doc in docs:
+        preds = flat_preds[pos : pos + len(doc)]
+        pos += len(doc)
+        lang, prob, sl, multi = _doc_from_preds(doc, preds)
         langs.append(lang)
         probs.append(prob)
         slangs.append(

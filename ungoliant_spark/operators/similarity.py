@@ -85,6 +85,33 @@ def cosine_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, sim ≥ threshold).
+
+    Correctness baseline is the full pair join; the scale path is the
+    same computation restricted to multi-table LSH bucket collisions
+    (set ``use_lsh=True`` semantics via ann_lsh_topk) — near-dups have
+    cosine ≈ 1 and collide in every table with high probability."""
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        pairs.withColumn("sim", sim)
+        .filter(F.col("sim") >= F.lit(threshold))
+        .select("id_a", "id_b", "sim")
+    )
+
+
 def lsh_bucket(vec: Column, planes: list[list[float]] | None = None) -> Column:
     """Sign-random-projection bucket id (0..2^N_PLANES-1)."""
     planes = planes or PLANES

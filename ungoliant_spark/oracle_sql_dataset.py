@@ -141,6 +141,23 @@ FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
 """
 
 
+def oracle_dedup_embedding(threshold: float = 0.9) -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_dot_product(a.e, b.e) /
+        (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+        6) AS sim
+FROM v a, v b
+WHERE a.vec_id < b.vec_id
+  AND round(list_dot_product(a.e, b.e) /
+        (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+        6) >= {threshold}
+"""
+
+
 def oracle_knn_cosine(n_query: int = 20, k: int = 5) -> str:
     return f"""
 WITH q AS (

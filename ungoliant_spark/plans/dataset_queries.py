@@ -42,6 +42,14 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.5 — the test
+    embeddings are near-orthogonal random vectors, so 0.5 marks the
+    top of their similarity distribution; production near-dup uses
+    ~0.95)."""
+    return sim.embedding_near_dup_pairs(_embs(spark, sf_dir), threshold=0.5)
+
+
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < N_QUERY_VECS)
