@@ -30,6 +30,11 @@ def load_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.01
     d = generate(sf, with_labels=False)
+    # defensive runtime confs: the caller's session may have defaults
+    # sized for text tables; clips rows carry multi-KB..MB binary audio
+    # (4096-row reader batches / 10k-row Arrow batches OOM on them)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "512")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
     return spark.read.parquet(f"{d}/clips.parquet")
 
 
