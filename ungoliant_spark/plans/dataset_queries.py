@@ -36,10 +36,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _docs(spark, sf_dir)
-    return df.select(
-        "doc_id", dd.simhash63(F.col("text")).alias("simhash")
-    )
+    return dd.simhash63_table(_docs(spark, sf_dir))
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
