@@ -73,17 +73,49 @@ def main(argv: list[str] | None = None) -> int:
         )
         from ungoliant_spark.plans.pipeline import decide, kept_output
 
-        kept_tbl = f"{args.output}_kept"
-        done: set[str] = set()
-        try:
-            for row in (
-                spark.sql(f"SELECT summary FROM {kept_tbl}.snapshots").collect()
-            ):
-                cid = dict(row["summary"]).get("ungoliant.chunk")
-                if cid:
-                    done.add(cid)
-        except Exception:
-            pass  # table does not exist yet
+        tables = {
+            "kept": f"{args.output}_kept",
+            "lineage": f"{args.output}_lineage",
+            "metrics": f"{args.output}_metrics",
+        }
+
+        def committed(tbl: str) -> set[str]:
+            try:
+                rows = spark.sql(
+                    f"SELECT summary FROM {tbl}.snapshots"
+                ).collect()
+            except Exception:
+                return set()  # table does not exist yet
+            return {
+                cid
+                for row in rows
+                if (cid := dict(row["summary"]).get("ungoliant.chunk"))
+            }
+
+        def exists(tbl: str) -> bool:
+            try:
+                spark.read.table(tbl)
+                return True
+            except Exception:
+                return False
+
+        def append(df, tbl: str, chunk_id: str) -> None:
+            # Iceberg append() fails on a nonexistent table — the
+            # first chunk creates each table (createOrReplace would
+            # wipe a resumed run's data)
+            w = df.writeTo(tbl).option(
+                "snapshot-property.ungoliant.chunk", chunk_id
+            )
+            w.append() if exists(tbl) else w.create()
+
+        # a chunk is done only when all three tables committed it;
+        # appends are idempotent-by-skip here, so a torn chunk reruns
+        done = (
+            committed(tables["kept"])
+            & committed(tables["lineage"])
+            & committed(tables["metrics"])
+        )
+        schema_written = False
         for chunk in range(args.chunks):
             chunk_id = f"chunk-{chunk:05d}"
             if chunk_id in done:
@@ -91,18 +123,18 @@ def main(argv: list[str] | None = None) -> int:
             part = chunk_filter(clips, chunk, args.chunks)
             kept = kept_output(decide(part, terms), args.partitions).cache()
             try:
-                (
-                    kept.drop("sentence_langs")
-                    .writeTo(kept_tbl)
-                    .option("snapshot-property.ungoliant.chunk", chunk_id)
-                    .append()
-                )
-                lineage_of(kept, chunk_id).writeTo(
-                    f"{args.output}_lineage"
-                ).append()
-                metrics_of(kept, chunk_id).writeTo(
-                    f"{args.output}_metrics"
-                ).append()
+                out = kept.drop("sentence_langs")
+                if not schema_written:
+                    # the reference writes metadata_schema.json beside
+                    # the output post-run (src/main.rs:64-69)
+                    with open("metadata_schema.json", "w") as f:
+                        f.write(out.schema.json())
+                    schema_written = True
+                # kept last: resume intersects all three, and a torn
+                # chunk never shows kept rows without their lineage
+                append(lineage_of(kept, chunk_id), tables["lineage"], chunk_id)
+                append(metrics_of(kept, chunk_id), tables["metrics"], chunk_id)
+                append(out, tables["kept"], chunk_id)
             finally:
                 kept.unpersist()
             print(f"committed {chunk_id}")

@@ -53,6 +53,42 @@ def test_crash_resume_no_dups(spark, clips):
     )
 
 
+def test_torn_chunk_resume(spark, clips):
+    """Crash BETWEEN the three per-chunk appends (lineage committed,
+    kept not): the chunk must NOT count as done — resume reprocesses
+    it and all three tables end row-consistent."""
+    out = OUT + "_torn"
+    shutil.rmtree(out, ignore_errors=True)
+    run = CheckpointedRun(out)
+    orig_append = run.metrics.append
+
+    def exploding_append(df, chunk_id, **kw):
+        raise RuntimeError("simulated crash between appends")
+
+    run.metrics.append = exploding_append
+    with pytest.raises(RuntimeError, match="between appends"):
+        run.run(clips, n_chunks=2)
+    # lineage has chunk-00000, metrics/kept do not → not done
+    assert run.lineage.committed_chunks() == {"chunk-00000"}
+    assert run.kept.committed_chunks() == set()
+    assert run.committed_chunks() == set()
+
+    run2 = CheckpointedRun(out)
+    newly = run2.run(clips, n_chunks=2)
+    assert newly == {"chunk-00000", "chunk-00001"}
+    kept = run2.kept.read(spark)
+    lineage = run2.lineage.read(spark)
+    # idempotent re-append: no duplicate lineage rows for the torn chunk
+    assert lineage.count() == kept.count()
+    assert (
+        lineage.select("record_id").distinct().count() == kept.count()
+    )
+    import os
+
+    assert os.path.exists(os.path.join(out, "metadata_schema.json"))
+    shutil.rmtree(out, ignore_errors=True)
+
+
 def test_lineage_rebuild_roundtrip(spark, clips):
     run = CheckpointedRun(OUT)  # committed by the previous test
     lineage = run.lineage.read(spark)

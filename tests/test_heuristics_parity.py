@@ -59,6 +59,13 @@ CASES = [
     f"{LONG}\n\n{LONG}\n\n",
     "Write to john.doe+x@example.co.uk or 10.0.0.1 now " + LONG,
     "Call +33 6 12 34 56 78 or (555) 123-4567. " + LONG,
+    # bare trailing '\r' (no '\n' after): Rust keeps it — only '\r'
+    # that directly precedes '\n' is stripped
+    "a\r",
+    LONG + "\r",
+    f"{LONG}\r\n{LONG}\r",
+    f"{LONG}\r\n{SHORT}\r",
+    "a\r\n",
 ]
 
 
@@ -107,6 +114,35 @@ def test_parity(result_rows):
                 ), (i, repr(text[:80]))
                 assert got["annotation_keep"] == exp.annotation_keep
                 assert got["scrubbed"] == oracle.scrub(exp.content)
+
+
+def test_rust_lines_semantics(spark):
+    """Ground truth straight from Rust str::lines() documentation:
+    '\\r' is stripped only when it directly precedes '\\n'."""
+    from ungoliant_spark.functions.lines import rust_lines
+
+    cases = [
+        ("", []),
+        ("\n", [""]),
+        ("\r\n", [""]),
+        ("a\r", ["a\r"]),          # bare final CR survives
+        ("a\r\n", ["a"]),
+        ("a\r\nb\r", ["a", "b\r"]),
+        ("a\rb\nc", ["a\rb", "c"]),  # interior CR not at segment end
+        ("a\n\n", ["a", ""]),
+        ("a\r\n\r\n", ["a", ""]),
+    ]
+    for text, expected in cases:
+        assert oracle.rust_lines(text) == expected, repr(text)
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], "id long, text string"
+    )
+    got = {
+        r["id"]: r["lines"]
+        for r in df.select("id", rust_lines(F.col("text")).alias("lines")).collect()
+    }
+    for i, (text, expected) in enumerate(cases):
+        assert got[i] == expected, repr(text)
 
 
 def test_scrub_examples(spark):

@@ -91,3 +91,35 @@ def test_spark_udf_matches_direct(spark, docs):
         assert got_sl == exp_sl or all(
             (a is None) == (b is None) for a, b in zip(got_sl, exp_sl)
         ), name
+
+
+def test_tag_replace_matches_reference_table():
+    """Every NEW_TAG_REPLACE entry from the reference
+    (src/identifiers/tag_convert.rs:8-167) must be present verbatim —
+    round-1 shipped only 11 of them."""
+    import re
+
+    from ungoliant_spark.operators.lid import TAG_REPLACE
+
+    src = open(
+        "/root/reference/src/identifiers/tag_convert.rs", encoding="utf-8"
+    ).read()
+    body = src.split("NEW_TAG_REPLACE")[1].split(".into_iter()")[0]
+    entries = dict(re.findall(r'\("([^"]+)",\s*"([^"]+)"\)', body))
+    assert len(entries) >= 150, len(entries)
+    assert TAG_REPLACE == entries
+
+
+def test_to_bcp47_conversion():
+    """Mirrors the reference's tag tests (tag_convert.rs:210-253):
+    old/new-style equivalence, script suffixes, table-10 fixes."""
+    from ungoliant_spark.operators.lid import to_bcp47
+
+    assert to_bcp47("__label__eng") == to_bcp47("__label__en") == "en"
+    assert to_bcp47("__label__fra_Latn") == "fra-Latn"  # unmapped: _ -> -
+    assert to_bcp47("__label__eml") == "x-eml"  # QaaG table 10
+    assert to_bcp47("__label__als") == "gsw"  # QaaG table 10
+    assert to_bcp47("__label__zho_Hans") == "zh-Hans"
+    assert to_bcp47("__label__prs") == "fa-AF"
+    assert to_bcp47("__label__abk") == "ab"
+    assert to_bcp47("__label__zul") == "zu"

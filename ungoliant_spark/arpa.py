@@ -39,7 +39,10 @@ def train_arpa(sentences: list[list[str]], order: int = ORDER) -> dict:
         for n in range(1, order + 1):
             for i in range(len(seq) - n + 1):
                 if n == 1 and seq[i] == BOS:
-                    pass  # <s> gets a dummy unigram prob, never predicted
+                    # <s> is context-only (KenLM convention): it gets
+                    # the dummy -99 unigram below and must not inflate
+                    # the unigram denominator
+                    continue
                 counts[n][tuple(seq[i : i + n])] += 1
     # context totals and continuation fan-out
     ctx_total: list[dict] = [defaultdict(int) for _ in range(order + 1)]

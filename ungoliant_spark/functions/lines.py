@@ -32,10 +32,18 @@ def rust_lines(text: Column) -> Column:
     stripped = F.when(
         text.endswith("\n"), F.substring(text, 1, F.length(text) - 1)
     ).otherwise(text)
+    parts = F.split(stripped, "\n", -1)
+    # '\r' is stripped only when it preceded a '\n' in the original
+    # text (Rust strips '\n' first, then one '\r'): that is every
+    # segment except the last, and the last too iff the text ended
+    # with '\n'. A document ending in a bare '\r' keeps it.
+    strip_last = text.endswith("\n")
     arr = F.transform(
-        F.split(stripped, "\n", -1),
-        lambda x: F.when(
-            x.endswith("\r"), F.substring(x, 1, F.length(x) - 1)
+        parts,
+        lambda x, i: F.when(
+            x.endswith("\r")
+            & ((i < F.size(parts) - 1) | strip_last),
+            F.substring(x, 1, F.length(x) - 1),
         ).otherwise(x),
     )
     # "" must give zero lines (split("") gives [""])

@@ -46,13 +46,47 @@ from ungoliant_spark.config import (
     MULTI_PROB,
 )
 
-# Subset of NEW_TAG_REPLACE (tag_convert.rs:7-167) covering our model's
-# label set plus the documented quirk entries ("Quality at a Glance"
-# table-10 fixes, tag_convert.rs:41,169-208).
+# The full NEW_TAG_REPLACE table (tag_convert.rs:8-167): ISO-639-3
+# (optionally _Script) fastText labels → BCP-47. Includes the
+# "Quality at a Glance" table-10 fixes (als→gsw, eml→x-eml) and the
+# lid.176.bin-era remaps (tgl→fil, prs→fa-AF).
 TAG_REPLACE: dict[str, str] = {
-    "eng": "en", "fra": "fr", "deu": "de", "spa": "es",
-    "ita": "it", "por": "pt", "nld": "nl", "fin": "fi",
-    "als": "gsw", "eml": "x-eml", "tgl": "fil",
+    "abk": "ab", "ace_Arab": "ace-Arab", "ace_Latn": "ace-Latn",
+    "afr": "af", "aka": "ak", "als": "gsw", "amh": "am",
+    "ara_Arab": "ar-Arab", "ara_Latn": "ar-Latn", "asm": "as",
+    "bak": "ba", "bam": "bm", "bel": "be", "ben": "bn", "bis": "bi",
+    "bjn_Arab": "bjn-Arab", "bjn_Latn": "bjn-Latn", "bod": "bo",
+    "bos": "bs", "bul": "bg", "cat": "ca", "ces": "cs", "che": "ce",
+    "chv": "cv", "crh_Latn": "crh-Latn", "cym": "cy", "dan": "da",
+    "deu": "de", "dzo": "dz", "ell": "el", "eml": "x-eml",
+    "eng": "en", "epo": "eo", "est": "et", "eus": "eu", "ewe": "ee",
+    "fao": "fo", "fas": "fa", "fij": "fj", "fin": "fi", "fra": "fr",
+    "gla": "gd", "gle": "ga", "glg": "gl", "grn": "gn", "guj": "gu",
+    "hat": "ht", "hau": "ha", "heb": "he", "hin": "hi", "hrv": "hr",
+    "hun": "hu", "hye": "hy", "ibo": "ig", "ind": "id", "isl": "is",
+    "ita": "it", "jav": "jv", "jpn": "ja", "kal": "kl", "kan": "kn",
+    "kas_Arab": "ks-Arab", "kas_Deva": "ks-Deva", "kat": "ka",
+    "kau_Arab": "kr-Arab", "kau_Latn": "kr-Latn", "kaz": "kk",
+    "khm": "km", "kik": "ki", "kin": "rw", "kir": "ky", "kon": "kg",
+    "kor": "ko", "kur": "ku", "lao": "lo", "lav": "lv", "lim": "li",
+    "lin": "ln", "lit": "lt", "ltz": "lb", "lug": "lg", "mal": "ml",
+    "mar": "mr", "min_Latn": "min-Latn", "mkd": "mk", "mlg": "mg",
+    "mlt": "mt", "mni_Mtei": "mni-Mtei", "mon": "mn", "mri": "mi",
+    "msa": "ms", "mya": "my", "nav": "nv", "nld": "nl", "nno": "nn",
+    "nob": "nb", "nya": "ny", "oci": "oc", "orm": "om", "oss": "os",
+    "pan": "pa", "pol": "pl", "por": "pt", "prs": "fa-AF",
+    "pus": "ps", "que": "qu", "roh": "rm", "ron": "ro", "run": "rn",
+    "rus": "ru", "sag": "sg", "san": "sa", "sin": "si", "slk": "sk",
+    "slv": "sl", "smo": "sm", "sna": "sn", "snd": "sd", "som": "so",
+    "sot": "st", "spa": "es", "sqi": "sq", "srd": "sc",
+    "srp_Cyrl": "sr-Cyrl", "ssw": "ss", "sun": "su", "swe": "sv",
+    "tah": "ty", "tam": "ta", "tat_Cyrl": "tt-Cyrl", "tel": "te",
+    "tgk": "tg", "tgl": "fil", "tha": "th", "tir": "ti",
+    "tmh_Latn": "tmh-Latn", "tmh_Tfng": "tmh-Tfng", "ton": "to",
+    "tsn": "tn", "tso": "ts", "tuk": "tk", "tur": "tr", "twi": "tw",
+    "uig": "ug", "ukr": "uk", "urd": "ur", "uzb": "uz", "vie": "vi",
+    "wol": "wo", "xho": "xh", "yid": "yi", "yor": "yo",
+    "zho_Hans": "zh-Hans", "zho_Hant": "zh-Hant", "zul": "zu",
 }
 
 SENTENCE_LANG_T = T.ArrayType(
@@ -97,9 +131,12 @@ def _get_model():
 
 
 def to_bcp47(ft_label: str) -> str:
-    """'__label__xxx' → BCP-47 (strip 9 chars + remap table)."""
+    """'__label__xxx' → BCP-47: strip 9 chars, remap table, then
+    '_'→'-' for unmapped script-suffixed labels (Tag::fix,
+    tag_convert.rs:183-199 — e.g. 'fra_Latn' → 'fra-Latn')."""
     raw = ft_label[9:]
-    return TAG_REPLACE.get(raw, raw)
+    tag = TAG_REPLACE.get(raw, raw)
+    return tag.replace("_", "-") if "_" in tag else tag
 
 
 def strict_multilingual(line_ids: list[tuple[str, float] | None]) -> bool:

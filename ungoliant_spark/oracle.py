@@ -20,13 +20,21 @@ from ungoliant_spark.operators.scrub import SCRUB_CHAIN
 
 
 def rust_lines(text: str) -> list[str]:
-    """Rust str::lines(): split on '\\n', strip one trailing '\\r' per
-    line, no empty final line after a trailing newline."""
+    """Rust str::lines(): split on '\\n', strip a trailing '\\r' only
+    where it preceded a '\\n' (CRLF), no empty final line after a
+    trailing newline. A document ending in a bare '\\r' keeps it."""
     if text == "":
         return []
-    if text.endswith("\n"):
+    strip_last = text.endswith("\n")
+    if strip_last:
         text = text[:-1]
-    return [ln[:-1] if ln.endswith("\r") else ln for ln in text.split("\n")]
+    parts = text.split("\n")
+    return [
+        ln[:-1]
+        if ln.endswith("\r") and (i < len(parts) - 1 or strip_last)
+        else ln
+        for i, ln in enumerate(parts)
+    ]
 
 
 def length_detect(line: str, min_size: int = C.LENGTH_MIN_CODEPOINTS) -> bool:

@@ -13,15 +13,21 @@ from __future__ import annotations
 
 from ungoliant_spark.operators.scrub import scrub_sql
 
-# Rust str::lines() over `text` (NULL/'' → zero lines)
-_LINES = r"""
+# Rust str::lines() over `text` (NULL/'' → zero lines). '\r' is
+# stripped only where it preceded a '\n': every segment but the last,
+# and the last too iff the text ended with '\n' (a bare trailing
+# '\r' survives, matching Rust's strip-\n-then-strip-\r order).
+_SPLIT_NO_NL = (
+    "string_split(CASE WHEN text LIKE '%' || chr(10) "
+    "THEN substr(text, 1, length(text) - 1) ELSE text END, chr(10))"
+)
+_LINES = f"""
 CASE WHEN text IS NULL OR text = '' THEN []::VARCHAR[]
 ELSE list_transform(
-  string_split(
-    CASE WHEN text LIKE '%' || chr(10)
-         THEN substr(text, 1, length(text) - 1) ELSE text END,
-    chr(10)),
-  x -> CASE WHEN x LIKE '%' || chr(13)
+  {_SPLIT_NO_NL},
+  (x, i) -> CASE WHEN x LIKE '%' || chr(13)
+                  AND (i < len({_SPLIT_NO_NL})
+                       OR text LIKE '%' || chr(10))
             THEN substr(x, 1, length(x) - 1) ELSE x END)
 END
 """

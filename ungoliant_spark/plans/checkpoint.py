@@ -62,9 +62,30 @@ def metrics_of(kept: DataFrame, chunk_id: str) -> DataFrame:
 
 class CheckpointedRun:
     def __init__(self, out_root: str):
+        self.out_root = out_root
         self.kept = SnapshotTable(f"{out_root}/kept")
         self.lineage = SnapshotTable(f"{out_root}/lineage")
         self.metrics = SnapshotTable(f"{out_root}/metrics")
+
+    def committed_chunks(self) -> set[str]:
+        """A chunk counts as done only when ALL THREE tables have it:
+        a crash between the per-table appends must re-run the chunk
+        (appends are idempotent), otherwise the chunk's lineage or
+        metrics rows would be silently lost forever."""
+        return (
+            self.kept.committed_chunks()
+            & self.lineage.committed_chunks()
+            & self.metrics.committed_chunks()
+        )
+
+    def _write_schema_json(self, kept: DataFrame) -> None:
+        """metadata_schema.json beside the sinks — the reference
+        writes it post-run (/root/reference/src/main.rs:64-69)."""
+        import os
+
+        path = os.path.join(self.kept.root, "..", "metadata_schema.json")
+        with open(os.path.abspath(path), "w", encoding="utf-8") as f:
+            f.write(kept.schema.json())
 
     def run(
         self,
@@ -76,8 +97,9 @@ class CheckpointedRun:
     ) -> set[str]:
         """Process all not-yet-committed chunks; returns chunk ids
         committed by THIS invocation. Safe to re-run after any crash."""
-        done = self.kept.committed_chunks()
+        done = self.committed_chunks()
         committed: set[str] = set()
+        schema_written = False
         for chunk in range(n_chunks):
             chunk_id = f"chunk-{chunk:05d}"
             if chunk_id in done:
@@ -89,9 +111,15 @@ class CheckpointedRun:
                 decide(part, term_to_category), n_partitions
             ).cache()
             try:
-                self.kept.append(kept.drop("sentence_langs"), chunk_id)
+                if not schema_written:
+                    self._write_schema_json(kept.drop("sentence_langs"))
+                    schema_written = True
+                # kept commits LAST: resume keys on the intersection,
+                # but ordering side tables first means a torn chunk
+                # can never present kept rows without their lineage
                 self.lineage.append(lineage_of(kept, chunk_id), chunk_id)
                 self.metrics.append(metrics_of(kept, chunk_id), chunk_id)
+                self.kept.append(kept.drop("sentence_langs"), chunk_id)
             finally:
                 kept.unpersist()
             committed.add(chunk_id)

@@ -41,32 +41,56 @@ def load_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_clips_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline decision per clip (keep + reasons)."""
     df = decide(load_clips(spark, sf_dir), TERM_MAP)
+    # n_warnings masked to heuristic survivors: the frozen label table
+    # stores [] for trim/pfilter-dropped rows (annotations of a doc
+    # that never reached the annotator stage are not part of the spec)
     return df.select(
         "clip_id",
         "keep",
         "trim_keep",
-        "pfilter_keep",
-        "annotation_keep",
+        # PFilter runs only on trim survivors (drop-if-empty precedes
+        # it, pipeline.rs:162-198); on an empty doc the engine's ratio
+        # is vacuously true — mask to the label spec (False)
+        (F.col("trim_keep") & F.col("pfilter_keep")).alias("pfilter_keep"),
+        # defined only for rows that reach the annotator stage (the
+        # label table stores the pre-stage default True otherwise)
+        F.when(
+            F.col("trim_keep") & F.col("pfilter_keep"),
+            F.col("annotation_keep"),
+        )
+        .otherwise(F.lit(True))
+        .alias("annotation_keep"),
         "lid_keep",
         "lang",
-        F.round("lang_prob", 5).alias("lang_prob"),
-        F.size("quality_warnings").alias("n_warnings"),
+        F.round(F.col("lang_prob").cast("double"), 5).alias("lang_prob"),
+        F.when(
+            F.col("trim_keep") & F.col("pfilter_keep"),
+            F.size("quality_warnings"),
+        )
+        .otherwise(F.lit(0))
+        .alias("n_warnings"),
     )
 
 
 def q_clips_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kept sink projection (metadata only — audio stays columnar)."""
+    """Kept sink projection (metadata only — audio stays columnar).
+    Array columns are serialized to sorted CSV strings: the driver's
+    canonicalizer sorts rows by every column and cannot hash lists."""
     out = kept_output(decide(load_clips(spark, sf_dir), TERM_MAP))
     return out.select(
         "clip_id",
         "lang",
-        F.round("lang_prob", 5).alias("lang_prob"),
-        "quality_warnings",
-        "categories",
-        F.round("harmful_pp", 2).alias("harmful_pp"),
+        F.round(F.col("lang_prob").cast("double"), 5).alias("lang_prob"),
+        F.array_join(F.array_sort("quality_warnings"), ",").alias(
+            "warnings"
+        ),
+        F.coalesce(
+            F.array_join(F.array_sort("categories"), ","), F.lit("")
+        ).alias("categories"),
+        F.round(F.col("harmful_pp").cast("double"), 2).alias("harmful_pp"),
         "tlsh",
-        "line_start",
-        "line_end",
+        F.col("line_start").cast("int").alias("line_start"),
+        F.col("line_end").cast("int").alias("line_end"),
     )
 
 

@@ -320,6 +320,9 @@ def label_row(clip_id: str, transcript: str) -> dict:
     return {
         "clip_id": clip_id,
         "keep": keep,
+        "trim_keep": h.trim_keep,
+        "pfilter_keep": h.pfilter_keep,
+        "annotation_keep": h.annotation_keep,
         "lang": lang if keep else None,
         "lang_prob": float(lang_prob) if (keep and lang_prob is not None) else None,
         "quality_warnings": h.quality_warnings if h.trim_keep and h.pfilter_keep else [],
@@ -336,6 +339,9 @@ LABELS_SCHEMA = pa.schema(
     [
         ("clip_id", pa.string()),
         ("keep", pa.bool_()),
+        ("trim_keep", pa.bool_()),
+        ("pfilter_keep", pa.bool_()),
+        ("annotation_keep", pa.bool_()),
         ("lang", pa.string()),
         ("lang_prob", pa.float32()),
         ("quality_warnings", pa.list_(pa.string())),
@@ -347,6 +353,28 @@ LABELS_SCHEMA = pa.schema(
         ("line_end", pa.int32()),
     ]
 )
+
+
+def regenerate_labels(sf: float, out_dir: str | None = None) -> str:
+    """Recompute labels.parquet from an existing clips.parquet (after
+    a frozen-spec change, e.g. new ARPA artifacts) without touching
+    the clips bytes."""
+    out_dir = out_dir or os.path.abspath(os.path.join(CACHE_ROOT, f"sf{sf}"))
+    clips_path = os.path.join(out_dir, "clips.parquet")
+    labels_path = os.path.join(out_dir, "labels.parquet")
+    pf = pq.ParquetFile(clips_path)
+    writer = pq.ParquetWriter(labels_path, LABELS_SCHEMA, compression="zstd")
+    for batch in pf.iter_batches(columns=["clip_id", "transcript"]):
+        rows = [
+            label_row(cid, tr)
+            for cid, tr in zip(
+                batch.column("clip_id").to_pylist(),
+                batch.column("transcript").to_pylist(),
+            )
+        ]
+        writer.write_table(pa.Table.from_pylist(rows, schema=LABELS_SCHEMA))
+    writer.close()
+    return labels_path
 
 
 def generate(

@@ -21,7 +21,10 @@ A crash before (3) leaves orphan staged files that are ignored and
 re-staged on retry — exactly Iceberg's optimistic append. Resume =
 diff desired chunk ids against the snapshot summary, matching the
 north_rule "resumable from checkpoint with per-partition lineage".
-The real-Iceberg path is config-gated in plans/checkpoint.py.
+Manifests store root-relative paths (files and checksums share keys),
+so a table directory can be moved or remounted wholesale. The
+real-Iceberg path is the --format iceberg branch of
+jobs/run_pipeline.py.
 """
 
 from __future__ import annotations
@@ -71,8 +74,16 @@ class SnapshotTable:
         return set(snap["summary"]["chunks"]) if snap else set()
 
     def files(self) -> list[str]:
+        """Committed data files as absolute paths (manifests store
+        root-relative; absolute entries from pre-v2 manifests pass
+        through unchanged)."""
         snap = self.current_snapshot()
-        return list(snap["files"]) if snap else []
+        if not snap:
+            return []
+        return [
+            p if os.path.isabs(p) else os.path.join(self.root, p)
+            for p in snap["files"]
+        ]
 
     # -- write path ----------------------------------------------------
     def append(self, df: DataFrame, chunk_id: str, **write_opts) -> dict:
@@ -92,12 +103,13 @@ class SnapshotTable:
         # of the reference's packaging checksums (src/processing/
         # package.rs:23-62 writes sha256sum-compatible files per lang);
         # here integrity travels with the snapshot itself
+        new_files = [os.path.relpath(p, self.root) for p in new_files]
         checksums = {
-            os.path.relpath(p, self.root): {
-                "sha256": _sha256(p),
-                "bytes": os.path.getsize(p),
+            rel: {
+                "sha256": _sha256(os.path.join(self.root, rel)),
+                "bytes": os.path.getsize(os.path.join(self.root, rel)),
             }
-            for p in new_files
+            for rel in new_files
         }
         prev_files = snap["files"] if snap else []
         prev_chunks = snap["summary"]["chunks"] if snap else []
