@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ungoliant_spark import oracle_sql as osql
+from ungoliant_spark import oracle_sql_clips as osqlc
 from ungoliant_spark import oracle_sql_dataset as osqld
 from ungoliant_spark.plans import clips_queries as cq
 from ungoliant_spark.plans import dataset_queries as dsq
@@ -38,14 +39,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": dsq.q_dedup_minhash,
         "dedup_embedding": dsq.q_dedup_embedding,
         "simhash": dsq.q_simhash,
+        "dedup_simhash_pairs": dsq.q_dedup_simhash_pairs,
         "knn_cosine": dsq.q_knn_cosine,
-        "knn_ann_lsh": dsq.q_knn_ann_lsh,  # rows-only (approximate)
+        "knn_ann_lsh": dsq.q_knn_ann_lsh,
         "text_stats": dsq.q_text_stats,
         "quality_by_source": dsq.q_quality_by_source,
         "zipf_check": dsq.q_zipf_check,
         "events_hourly": dsq.q_events_hourly,
         "events_running_avg": dsq.q_events_running_avg,
-        # clips-table model/binary ops (rows-only; gated in tests/)
+        # clips-table model/binary ops (fixture-expected-table oracles
+        # + F1/SNR/parity gates in tests/)
         "clips_decisions": cq.q_clips_decisions,
         "clips_kept": cq.q_clips_kept,
         "audio_stats": cq.q_audio_stats,
@@ -67,10 +70,19 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": osqld.oracle_dedup_minhash(),
         "dedup_embedding": osqld.oracle_dedup_embedding(0.5),
         "simhash": osqld.oracle_simhash(),
+        "dedup_simhash_pairs": osqld.oracle_dedup_simhash_pairs(),
         "knn_cosine": osqld.oracle_knn_cosine(),
+        "knn_ann_lsh": osqld.oracle_knn_ann_lsh(),
         "text_stats": osqld.oracle_text_stats(),
         "quality_by_source": osqld.oracle_quality_by_source(),
         "zipf_check": osqld.oracle_zipf_check(),
         "events_hourly": osqld.oracle_events_hourly(),
         "events_running_avg": osqld.oracle_events_running_avg(),
+        # clips-table model/binary ops: fixture-expected-table oracles
+        # (ground truth computed outside Spark; see oracle_sql_clips)
+        "clips_decisions": osqlc.oracle_clips_decisions(),
+        "clips_kept": osqlc.oracle_clips_kept(),
+        "audio_stats": osqlc.oracle_audio_stats(),
+        "audio_resample": osqlc.oracle_audio_resample(),
+        "lid_documents": osqlc.oracle_lid_documents(),
     }

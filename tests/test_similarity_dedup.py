@@ -58,6 +58,68 @@ def test_embedding_near_dup_constructed(spark):
     assert pairs[(0, 1)] >= 0.95
 
 
+def test_embedding_near_dup_lsh_recall(spark):
+    """The LSH-bucketed production path vs the all-pairs exact
+    baseline: at near-dup similarity (≥0.95) recall must be ~1 —
+    near-identical vectors agree on almost every hyperplane sign, so
+    they collide in some table almost surely."""
+    import numpy as np
+
+    from ungoliant_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_exact,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    vid = 0
+    for _ in range(40):  # 40 clusters of near-dups among noise
+        base = rng.standard_normal(64)
+        for _ in range(3):
+            v = base + 0.03 * rng.standard_normal(64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(200):  # unrelated noise vectors
+        rows.append((vid, [float(x) for x in rng.standard_normal(64)]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs_exact(df, threshold=0.95).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    assert lsh <= exact  # candidates verified with true cosine
+    assert len(exact) >= 100  # the planted clusters are really there
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.95, recall
+
+
+def test_simhash_pairs_lossless_banding(spark):
+    """4-band pigeonhole banding is LOSSLESS for Hamming ≤ 3: the
+    banded join must return exactly the all-pairs ground truth."""
+    from ungoliant_spark.operators.dedup import simhash63_table, simhash_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hashes = {
+        r["doc_id"]: r["simhash"] for r in simhash63_table(docs).collect()
+    }
+    ids = sorted(hashes)
+    truth = {
+        (a, b): bin(hashes[a] ^ hashes[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(docs, max_hamming=3).collect()
+    }
+    assert got == truth
+
+
 @pytest.fixture(scope="module")
 def dup_corpus(spark):
     base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"

@@ -259,6 +259,68 @@ def simhash63(text: Column) -> Column:
     return out
 
 
+SIMHASH_BANDS = [(0, 16), (16, 16), (32, 16), (48, 15)]  # offset, width
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs (a < b) with SimHash Hamming distance ≤
+    ``max_hamming``, via banded LSH on the 63-bit word: split into 4
+    chunks (16+16+16+15 bits); any pair within Hamming ≤ 3 differs in
+    at most 3 chunks, so by pigeonhole it collides on ≥ 1 chunk —
+    banding is *lossless* here, unlike probabilistic MinHash bands.
+    Join is on (band, chunk value): one shuffle, sub-quadratic."""
+    sh = simhash63_table(df, id_col, text_col)
+    banded = sh.select(
+        F.col(id_col).alias("id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright(F.col("simhash"), off)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for bi, (off, width) in enumerate(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bh"),
+    ).select(
+        "id",
+        "simhash",
+        F.col("bh.band").alias("band"),
+        F.col("bh.chunk").alias("chunk"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash63_table(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -91,12 +91,51 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (a < b, sim ≥ threshold).
+    """Embedding-cosine near-duplicate pairs (a < b, sim ≥ threshold),
+    restricted to multi-table LSH bucket collisions.
 
-    Correctness baseline is the full pair join; the scale path is the
-    same computation restricted to multi-table LSH bucket collisions
-    (set ``use_lsh=True`` semantics via ann_lsh_topk) — near-dups have
-    cosine ≈ 1 and collide in every table with high probability."""
+    Near-dups have cosine ≈ 1 and agree on every random hyperplane
+    sign with high probability, so they collide in some table almost
+    surely; candidate generation is a shuffle on (table, bucket) keys
+    — sub-quadratic, vs. the O(n²) all-pairs join of
+    :func:`embedding_near_dup_pairs_exact` (10¹⁸ comparisons at 10⁹
+    vectors). The DuckDB oracle replicates the same bucket
+    restriction, so the driver hash-check verifies this exact
+    algorithm; recall vs. the exact baseline is asserted in
+    tests/test_similarity_dedup.py."""
+    keyed = embeddings.select(
+        F.col(id_col).alias("id"),
+        _as_double(F.col(vec_col)).alias("v"),
+        F.explode(lsh_keys(F.col(vec_col))).alias("key"),
+    )
+    a = keyed.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), "key"
+    )
+    b = keyed.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), "key"
+    )
+    pairs = (
+        a.join(b, "key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        pairs.withColumn("sim", sim)
+        .filter(F.col("sim") >= F.lit(threshold))
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def embedding_near_dup_pairs_exact(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs exact form — O(n²), test-oracle only (recall baseline
+    for the LSH-bucketed production path). Never ship this in a scale
+    path."""
     a = embeddings.select(
         F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")
     )

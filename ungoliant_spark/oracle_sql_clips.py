@@ -1,0 +1,248 @@
+"""DuckDB oracles for the clips-table model/binary queries.
+
+These queries have no closed-form ANSI-SQL twin (fastText inference,
+PCM decode), so their oracles follow the fixture-expected-table
+pattern: ground truth is computed OUTSIDE Spark — the frozen label
+table written by the fixture generator (pure-Python oracle,
+sources/fixtures.py) and expected audio/LID tables built here with an
+independent decode path — and the oracle SQL simply reads those
+parquet files. The driver's hash compare then checks the distributed
+engine against per-row ground truth.
+
+All paths are absolute (the driver's DuckDB connection has no view of
+our fixture cache); the ensure_* builders are invoked when the oracle
+SQL is constructed, so the files exist before DuckDB runs.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ungoliant_spark.sources.fixtures import CACHE_ROOT, generate
+
+ORACLE_SF = 0.01  # the driver compares at sf=0.01
+EXPECTED_DIR = os.path.abspath(os.path.join(CACHE_ROOT, "..", "expected"))
+
+
+def ensure_labels(sf: float = ORACLE_SF) -> str:
+    d = generate(sf, with_labels=True)
+    return os.path.join(d, "labels.parquet")
+
+
+# ---- independent audio decode (struct-based RIFF walk; the engine
+# uses the stdlib wave module — sources/audio.py) ----------------------
+
+def _decode_wav_independent(data: bytes) -> np.ndarray:
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    while pos + 8 <= len(data):
+        cid, size = data[pos : pos + 4], struct.unpack(
+            "<I", data[pos + 4 : pos + 8]
+        )[0]
+        if cid == b"data":
+            raw = data[pos + 8 : pos + 8 + size]
+            return np.frombuffer(raw, dtype="<i2")
+        pos += 8 + size + (size & 1)
+    raise ValueError("no data chunk")
+
+
+def _expected_audio_rows(clip_id, data, codec, sr):
+    if codec == "pcm_s16le":
+        pcm = np.frombuffer(data, dtype="<i2")
+    elif codec == "wav":
+        pcm = _decode_wav_independent(data)
+    else:
+        return {
+            "clip_id": clip_id, "decode_ok": False, "n_samples": None,
+            "rms": None, "peak": None, "zcr": None, "centroid_hz": None,
+            "target_sr": 16000, "n_samples_out": None, "n_bytes_out": None,
+        }
+    x = pcm.astype(np.float64)
+    n = len(x)
+    if n == 0:
+        rms, peak, zcr, centroid = 0.0, 0, 0.0, 0.0
+    else:
+        rms = float(np.sqrt((x * x).sum() / n))
+        peak = int(np.abs(pcm).max())
+        neg = x < 0  # sign change count over consecutive samples
+        zcr = (
+            float(np.count_nonzero(neg[1:] != neg[:-1])) / (n - 1)
+            if n > 1
+            else 0.0
+        )
+        seg = x[: min(n, 1 << 16)]
+        spec = np.abs(np.fft.rfft(seg))
+        freqs = np.fft.rfftfreq(len(seg), d=1.0 / sr)
+        denom = float(spec.sum())
+        centroid = float((freqs * spec).sum() / denom) if denom > 0 else 0.0
+    # resample contract: linear interp to 16 kHz, int16 re-encode
+    n_out = max(1, int(round(n * 16000 / int(sr)))) if n else 1
+    return {
+        "clip_id": clip_id,
+        "decode_ok": True,
+        "n_samples": n,
+        "rms": np.float32(rms),
+        "peak": peak,
+        "zcr": np.float32(zcr),
+        "centroid_hz": np.float32(centroid),
+        "target_sr": 16000,
+        "n_samples_out": n_out,
+        "n_bytes_out": 2 * n_out,
+    }
+
+
+AUDIO_EXPECTED_SCHEMA = pa.schema(
+    [
+        ("clip_id", pa.string()),
+        ("decode_ok", pa.bool_()),
+        ("n_samples", pa.int64()),
+        ("rms", pa.float32()),
+        ("peak", pa.int32()),
+        ("zcr", pa.float32()),
+        ("centroid_hz", pa.float32()),
+        ("target_sr", pa.int32()),
+        ("n_samples_out", pa.int64()),
+        ("n_bytes_out", pa.int64()),
+    ]
+)
+
+
+def ensure_audio_expected(sf: float = ORACLE_SF) -> str:
+    out = os.path.join(EXPECTED_DIR, f"audio_sf{sf}.parquet")
+    if os.path.exists(out):
+        return out
+    os.makedirs(EXPECTED_DIR, exist_ok=True)
+    clips = os.path.join(generate(sf, with_labels=False), "clips.parquet")
+    pf = pq.ParquetFile(clips)
+    tmp = out + ".tmp"
+    writer = pq.ParquetWriter(tmp, AUDIO_EXPECTED_SCHEMA, compression="zstd")
+    for batch in pf.iter_batches(
+        columns=["clip_id", "bytes", "codec", "sr_hz"], batch_size=512
+    ):
+        rows = [
+            _expected_audio_rows(cid, data, codec, sr)
+            for cid, data, codec, sr in zip(
+                batch.column("clip_id").to_pylist(),
+                batch.column("bytes").to_pylist(),
+                batch.column("codec").to_pylist(),
+                batch.column("sr_hz").to_pylist(),
+            )
+        ]
+        writer.write_table(
+            pa.Table.from_pylist(rows, schema=AUDIO_EXPECTED_SCHEMA)
+        )
+    writer.close()
+    os.replace(tmp, out)
+    return out
+
+
+LID_DOCS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("lang", pa.string()),
+        ("lang_prob", pa.float32()),
+    ]
+)
+
+
+def ensure_lid_documents_expected(
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> str:
+    """Per-row LID ground truth over the shared documents table,
+    computed via the single-row oracle path (identify_doc — the same
+    frozen model/semantics the batched UDF is tested against in
+    tests/test_lid.py::test_spark_udf_matches_direct)."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(EXPECTED_DIR, f"lid_documents_{tag}.parquet")
+    if os.path.exists(out):
+        return out
+    os.makedirs(EXPECTED_DIR, exist_ok=True)
+    from ungoliant_spark import oracle
+    from ungoliant_spark.operators.lid import identify_doc
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    rows = []
+    for doc_id, text in zip(
+        tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+    ):
+        lang, prob, _, _ = identify_doc(oracle.rust_lines(text or ""))
+        rows.append(
+            {
+                "doc_id": doc_id,
+                "lang": lang,
+                "lang_prob": np.float32(prob) if prob is not None else None,
+            }
+        )
+    tmp = out + ".tmp"
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=LID_DOCS_SCHEMA),
+        tmp,
+        compression="zstd",
+    )
+    os.replace(tmp, out)
+    return out
+
+
+# ---- oracle SQL -------------------------------------------------------
+
+def oracle_clips_decisions() -> str:
+    labels = ensure_labels()
+    return f"""
+SELECT clip_id, keep, trim_keep, pfilter_keep, annotation_keep,
+  keep AS lid_keep,
+  lang,
+  round(lang_prob::DOUBLE, 5) AS lang_prob,
+  CAST(len(quality_warnings) AS INTEGER) AS n_warnings
+FROM read_parquet('{labels}')
+"""
+
+
+def oracle_clips_kept() -> str:
+    labels = ensure_labels()
+    return f"""
+SELECT clip_id, lang,
+  round(lang_prob::DOUBLE, 5) AS lang_prob,
+  COALESCE(array_to_string(list_sort(quality_warnings), ','), '')
+    AS warnings,  -- DuckDB array_to_string([]) is NULL, not ''
+  COALESCE(array_to_string(list_sort(categories), ','), '') AS categories,
+  round(harmful_pp::DOUBLE, 2) AS harmful_pp,
+  tlsh, line_start, line_end
+FROM read_parquet('{labels}')
+WHERE keep
+"""
+
+
+def oracle_audio_stats() -> str:
+    exp = ensure_audio_expected()
+    return f"""
+SELECT clip_id, decode_ok, n_samples,
+  round(rms::DOUBLE, 3) AS rms,
+  peak,
+  round(zcr::DOUBLE, 5) AS zcr,
+  round(centroid_hz::DOUBLE, 2) AS centroid_hz
+FROM read_parquet('{exp}')
+"""
+
+
+def oracle_audio_resample() -> str:
+    exp = ensure_audio_expected()
+    return f"""
+SELECT clip_id, target_sr, n_samples_out, n_bytes_out
+FROM read_parquet('{exp}')
+"""
+
+
+def oracle_lid_documents() -> str:
+    exp = ensure_lid_documents_expected()
+    return f"""
+SELECT doc_id, lang, round(lang_prob::DOUBLE, 5) AS lang_prob
+FROM read_parquet('{exp}')
+"""

@@ -117,6 +117,64 @@ WHERE CAST(n_common AS DOUBLE) / (size_a + size_b - n_common) >= {threshold}
     )
 
 
+_SIMHASH_CTE = """
+WITH toked AS (
+  SELECT doc_id, {TOKENS} AS toks FROM documents
+), hashes AS (
+  SELECT doc_id, list_transform(toks, t -> {H}) AS hs FROM toked
+), exploded AS (
+  SELECT doc_id, unnest(hs) AS h FROM hashes
+), votes AS (
+  SELECT e.doc_id, r.b,
+         sum(CASE WHEN (e.h >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM exploded e, range(0, 63) r(b)
+  GROUP BY e.doc_id, r.b
+), sh0 AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM votes GROUP BY doc_id
+), sh AS (
+  SELECT d.doc_id, COALESCE(sh0.simhash, 0)::BIGINT AS simhash
+  FROM documents d LEFT JOIN sh0 ON d.doc_id = sh0.doc_id
+)
+"""
+
+
+def _simhash_cte() -> str:
+    return _SIMHASH_CTE.format(TOKENS=TOKENS, H=H64.format("t"))
+
+
+def oracle_dedup_simhash_pairs(max_hamming: int = 3) -> str:
+    """SQL twin of dedup.simhash_pairs: band the 63-bit word into
+    16+16+16+15-bit chunks, join on (band, chunk), verify Hamming
+    distance via bit_count(xor)."""
+    from ungoliant_spark.operators.dedup import SIMHASH_BANDS
+
+    chunks = ", ".join(
+        f"struct_pack(band := {bi},"
+        f" chunk := (simhash >> {off}) & {(1 << width) - 1})"
+        for bi, (off, width) in enumerate(SIMHASH_BANDS)
+    )
+    return (
+        _simhash_cte()
+        + f"""
+, banded AS (
+  SELECT doc_id, simhash, unnest([{chunks}]) AS bh FROM sh
+), flat AS (
+  SELECT doc_id, simhash, bh.band AS band, bh.chunk AS chunk FROM banded
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM flat a JOIN flat b ON a.band = b.band AND a.chunk = b.chunk
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+"""
+    )
+
+
 def oracle_simhash() -> str:
     return f"""
 WITH toked AS (
@@ -141,20 +199,90 @@ FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
 """
 
 
+def _vec_lit(v: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in v) + "]"
+
+
+def _bucket_expr(planes: list[list[float]]) -> str:
+    """Sign-random-projection bucket id over `e` (DOUBLE[]) — the SQL
+    twin of similarity.lsh_bucket (same plane literals, same > 0)."""
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(e, {_vec_lit(p)}) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+
+
+def _lsh_keys_list() -> str:
+    from ungoliant_spark.operators.similarity import TABLES
+
+    return "[" + ", ".join(
+        f"struct_pack(t := {t}, b := ({_bucket_expr(planes)}))"
+        for t, planes in enumerate(TABLES)
+    ) + "]"
+
+
+_COS = (
+    "round(list_dot_product({a}, {b}) /"
+    " (sqrt(list_dot_product({a}, {a})) *"
+    " sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
 def oracle_dedup_embedding(threshold: float = 0.9) -> str:
+    """LSH-bucket-restricted near-dup pairs — the exact SQL twin of
+    similarity.embedding_near_dup_pairs (same multi-table SRP keys),
+    so the driver verifies the production sub-quadratic algorithm,
+    not the O(n²) all-pairs form."""
+    sim = _COS.format(a="va.e", b="vb.e")
     return f"""
 WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), keyed AS (
+  SELECT vec_id, unnest({_lsh_keys_list()}) AS k FROM v
+), flat AS (
+  SELECT vec_id, k.t AS t, k.b AS b FROM keyed
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM flat a JOIN flat b ON a.t = b.t AND a.b = b.b
+  WHERE a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  round(list_dot_product(a.e, b.e) /
-        (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
-        6) AS sim
-FROM v a, v b
-WHERE a.vec_id < b.vec_id
-  AND round(list_dot_product(a.e, b.e) /
-        (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
-        6) >= {threshold}
+SELECT id_a, id_b, {sim} AS sim
+FROM cand
+JOIN v va ON va.vec_id = id_a
+JOIN v vb ON vb.vec_id = id_b
+WHERE {sim} >= {threshold}
+"""
+
+
+def oracle_knn_ann_lsh(n_query: int = 20, k: int = 5) -> str:
+    """SQL twin of similarity.ann_lsh_topk: identical multi-table SRP
+    candidate generation, cosine on survivors, deterministic
+    (sim desc, neighbor asc) ranking."""
+    sim = _COS.format(a="vq.e", b="vc.e")
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), keyed AS (
+  SELECT vec_id, unnest({_lsh_keys_list()}) AS k FROM v
+), flat AS (
+  SELECT vec_id, k.t AS t, k.b AS b FROM keyed
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM flat q JOIN flat c ON q.t = c.t AND q.b = c.b
+  WHERE q.vec_id < {n_query} AND q.vec_id <> c.vec_id
+), s AS (
+  SELECT query_id, neighbor_id, {sim} AS sim
+  FROM cand
+  JOIN v vq ON vq.vec_id = query_id
+  JOIN v vc ON vc.vec_id = neighbor_id
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, sim
+FROM ranked WHERE rank <= {k}
 """
 
 

@@ -1,9 +1,12 @@
 """Driver-contract queries over the clips (audio+transcript) table —
 the BASELINE.json input_hint shape. The clips fixture is synthesized
 deterministically (seed 42) at the scale factor matching ``sf_dir``;
-no external data. These are model/binary operators with no SQL
-equivalent → rows-only driver checks; their correctness gates live in
-tests/ (F1 vs frozen labels, SNR, UDF-vs-direct parity).
+no external data. These are model/binary operators with no closed-form
+SQL twin, so their oracles (ungoliant_spark.oracle_sql_clips) read
+fixture-expected parquet tables computed outside Spark: the frozen
+label table (pure-Python reference oracle) and an independent-decode
+audio table. Additional gates live in tests/ (F1 vs frozen labels,
+SNR, UDF-vs-direct parity).
 """
 
 from __future__ import annotations
@@ -96,14 +99,16 @@ def q_clips_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = audio_stats(load_clips(spark, sf_dir))
+    # cast f32 → double before rounding so the engine and the DuckDB
+    # oracle round the identical double value
     return stats.select(
         "clip_id",
         "decode_ok",
         "n_samples",
-        F.round("rms", 3).alias("rms"),
+        F.round(F.col("rms").cast("double"), 3).alias("rms"),
         "peak",
-        F.round("zcr", 5).alias("zcr"),
-        F.round("centroid_hz", 2).alias("centroid_hz"),
+        F.round(F.col("zcr").cast("double"), 5).alias("zcr"),
+        F.round(F.col("centroid_hz").cast("double"), 2).alias("centroid_hz"),
     )
 
 
@@ -120,5 +125,7 @@ def q_lid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     df = df.withColumn("lines", rust_lines(F.col("text")))
     return apply_lid(df).select(
-        "doc_id", "lang", F.round("lang_prob", 5).alias("lang_prob")
+        "doc_id",
+        "lang",
+        F.round(F.col("lang_prob").cast("double"), 5).alias("lang_prob"),
     )

@@ -40,11 +40,18 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (threshold 0.5 — the test
-    embeddings are near-orthogonal random vectors, so 0.5 marks the
-    top of their similarity distribution; production near-dup uses
-    ~0.95)."""
+    """Embedding-cosine near-dup pairs via LSH bucket collisions
+    (threshold 0.5 — the test embeddings are near-orthogonal random
+    vectors, so 0.5 marks the top of their similarity distribution;
+    production near-dup uses ~0.95). The oracle replicates the bucket
+    restriction, so this checks the sub-quadratic algorithm itself."""
     return sim.embedding_near_dup_pairs(_embs(spark, sf_dir), threshold=0.5)
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming ≤ 3 via lossless 4-band
+    pigeonhole banding (dedup.simhash_pairs)."""
+    return dd.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
