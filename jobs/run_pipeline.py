@@ -25,8 +25,17 @@ import sys
 
 
 def parse_blocklist(path: str | None) -> dict[str, str] | None:
+    """CSV file of term,category — or a UT1-format blocklist directory
+    (one subdir per category with domains/urls/expressions files), the
+    layout the reference consumes (content_detector.rs:26-64)."""
     if not path:
         return None
+    import os
+
+    if os.path.isdir(path):
+        from ungoliant_spark.operators.blocklist import load_ut1_dir
+
+        return load_ut1_dir(path)
     with open(path, newline="", encoding="utf-8") as f:
         return {row[0]: row[1] for row in csv.reader(f) if len(row) >= 2}
 
@@ -37,7 +46,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--output", required=True, help="output root / table prefix")
     p.add_argument("--chunks", type=int, default=64)
     p.add_argument("--partitions", type=int, default=None)
-    p.add_argument("--blocklist", default=None, help="csv of term,category")
+    p.add_argument("--blocklist", default=None,
+                   help="term,category csv OR a UT1-format directory")
     p.add_argument("--format", choices=["snapshot", "iceberg"], default="snapshot")
     args = p.parse_args(argv)
 
@@ -71,7 +81,7 @@ def main(argv: list[str] | None = None) -> int:
             lineage_of,
             metrics_of,
         )
-        from ungoliant_spark.plans.pipeline import decide, kept_output
+        from ungoliant_spark.plans.pipeline import run as pipeline_run
 
         tables = {
             "kept": f"{args.output}_kept",
@@ -121,7 +131,7 @@ def main(argv: list[str] | None = None) -> int:
             if chunk_id in done:
                 continue
             part = chunk_filter(clips, chunk, args.chunks)
-            kept = kept_output(decide(part, terms), args.partitions).cache()
+            kept = pipeline_run(part, terms, args.partitions).cache()
             try:
                 out = kept.drop("sentence_langs")
                 if not schema_written:

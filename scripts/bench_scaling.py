@@ -22,9 +22,10 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
-    # two reps, min taken: separates steady-state throughput from
-    # one-time session warmup (python workers, codegen, page cache)
-    env.setdefault("BENCH_REPS", "2")
+    # one rep — identical to the driver's conditions, so the committed
+    # baseline is directly comparable to BENCH_r{N}.json (round-1's
+    # min-of-2 baseline was 4.7× off the driver's cold number)
+    env.setdefault("BENCH_REPS", "1")
     out = subprocess.run(
         [sys.executable, "bench.py"],
         cwd=REPO,
@@ -36,11 +37,36 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def _median_of(runs: list[dict]) -> dict:
+    """Per-query medians across repeated fresh-JVM runs. This sandbox
+    VM shows CPU steal up to ~20% from co-tenants (observed via top),
+    so single samples of the pipeline leg vary up to 3×; medians of
+    interleaved runs are the honest central estimate."""
+    import statistics
+
+    med = dict(runs[0])
+    med["queries"] = {
+        k: round(statistics.median(r["queries"][k] for r in runs), 3)
+        for k in runs[0]["queries"]
+    }
+    med["value"] = round(sum(med["queries"].values()), 3)
+    med["clips_per_sec"] = round(
+        med["clips"] / med["queries"]["clips_pipeline"], 1
+    )
+    return med
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = int(os.environ.get("SCALING_REPS", "3"))
     lo, hi = 8, 32
-    r_lo = run_bench(lo, sf_dir)
-    r_hi = run_bench(hi, sf_dir)
+    # interleave levels so slow host windows hit both levels equally
+    lo_runs, hi_runs = [], []
+    for _ in range(reps):
+        lo_runs.append(run_bench(lo, sf_dir))
+        hi_runs.append(run_bench(hi, sf_dir))
+    r_lo = _median_of(lo_runs)
+    r_hi = _median_of(hi_runs)
     rate_lo = r_lo["clips_per_sec"]
     rate_hi = r_hi["clips_per_sec"]
     eff = (rate_hi / rate_lo) / (hi / lo)
@@ -67,7 +93,11 @@ def main() -> None:
 
 Scaling evidence for the north_rule two-cluster-size criterion,
 measured as local[{lo}] (N) vs local[{hi}] (4N) on identical input
-(no real cluster in this sandbox; fresh JVM per level).
+(no real cluster in this sandbox; fresh JVM per run). Values are
+per-query MEDIANS of {os.environ.get('SCALING_REPS', '3')}
+interleaved fresh-JVM runs per level: this VM shares a host and
+shows up to ~20% CPU steal in bad windows, which makes single
+samples of the pipeline leg vary by up to 3×.
 
 | metric | value |
 |---|---|

@@ -1,0 +1,93 @@
+"""Model/blocklist ingestion fidelity: KenLM-style binary-over-arpa
+preference (lru.rs:86-91) and UT1 blocklist-directory parsing
+(content_detector.rs:26-64)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from ungoliant_spark.arpa import (
+    ArpaModel,
+    compile_binary,
+    load_model,
+    model_path,
+)
+from ungoliant_spark.operators.blocklist import load_ut1_dir
+
+
+def test_binary_model_roundtrip(tmp_path):
+    src = model_path("en")
+    bin_path = str(tmp_path / "en.binary")
+    compile_binary(src, bin_path)
+    text = ArpaModel.load_arpa(src)
+    binm = ArpaModel.load_binary(bin_path)
+    assert binm.model == text.model
+    sample = "the fast key order sort table scan"
+    assert binm.perplexity(sample) == text.perplexity(sample)
+
+
+def test_load_model_prefers_binary(tmp_path):
+    import shutil
+
+    shutil.copy(model_path("en"), tmp_path / "xx.arpa")
+    # binary with DIFFERENT content proves which artifact was loaded
+    compile_binary(model_path("fr"), str(tmp_path / "xx.binary"))
+    m = load_model("xx", str(tmp_path))
+    assert m.model == ArpaModel.load_arpa(model_path("fr")).model
+    # missing language → None
+    assert load_model("zz", str(tmp_path)) is None
+
+
+def test_load_model_compiles_binary_beside_arpa(tmp_path):
+    import shutil
+
+    shutil.copy(model_path("en"), tmp_path / "en.arpa")
+    m = load_model("en", str(tmp_path))
+    assert os.path.exists(tmp_path / "en.binary")  # compiled for next time
+    assert m.model == ArpaModel.load_arpa(model_path("en")).model
+
+
+def test_bad_binary_magic_rejected(tmp_path):
+    p = tmp_path / "bad.binary"
+    p.write_bytes(b"NOTMAGIC" + b"\x00" * 16)
+    with pytest.raises(ValueError, match="USARPA1"):
+        ArpaModel.load_binary(str(p))
+
+
+def test_ut1_dir_parsing(tmp_path, spark):
+    (tmp_path / "adult").mkdir()
+    (tmp_path / "adult" / "domains").write_text(
+        "badsite.example\n# comment\n\nBADWORD001\n"
+    )
+    (tmp_path / "adult" / "terms").write_text("badword002\n")
+    (tmp_path / "gambling").mkdir()
+    (tmp_path / "gambling" / "urls").write_text("casino.example/promo\n")
+    (tmp_path / "gambling" / "expressions").write_text("jackpot\n")
+    (tmp_path / "README").write_text("not a category dir\n")
+
+    got = load_ut1_dir(str(tmp_path))
+    assert got == {
+        "badsite.example": "adult",
+        "badword001": "adult",  # lowercased
+        "badword002": "adult",
+        "casino.example/promo": "gambling",
+        "jackpot": "gambling",
+    }
+
+    # drop-in with the existing operator
+    from pyspark.sql import functions as F
+
+    from ungoliant_spark.operators.blocklist import apply_blocklist
+
+    df = spark.createDataFrame(
+        [(1, "hit the jackpot today"), (2, "clean text"),
+         (3, "contains badword001 and badword002")],
+        "clip_id long, content string",
+    )
+    rows = {r["clip_id"]: r["categories"]
+            for r in apply_blocklist(df, got).collect()}
+    assert rows[1] == ["gambling"]
+    assert rows[2] is None
+    assert rows[3] == ["adult"]

@@ -94,15 +94,60 @@ def test_kept_row_fields_match_labels(kept_rows, labels):
             ), cid
 
 
-def test_bytes_never_enter_python_stage(spark, fixture_dir):
+def test_fused_matches_modular(spark, fixture_dir):
+    """run() (single fused model node) and kept_output(decide(...))
+    (modular 3-node composition) must produce identical rows — same
+    kernels, different physical plan."""
+    from ungoliant_spark.plans.pipeline import run
+
     clips = spark.read.parquet(f"{fixture_dir}/clips.parquet")
-    out = kept_output(decide(clips, TERM_MAP))
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "ArrowEvalPython" in plan  # the LID stage exists
-    for line in plan.splitlines():
-        # no Python-boundary node may list the audio column as input
-        if "Python" in line or "InPandas" in line:
-            assert "bytes#" not in line.split("],")[0], line
+    cols = [
+        "clip_id", "lang", "lang_prob", "transcript", "quality_warnings",
+        "categories", "harmful_pp", "tlsh", "line_start", "line_end",
+        "lang_bucket",
+    ]
+    fused = {
+        r["clip_id"]: r for r in run(clips, TERM_MAP).select(cols).collect()
+    }
+    modular = {
+        r["clip_id"]: r
+        for r in kept_output(decide(clips, TERM_MAP)).select(cols).collect()
+    }
+    assert set(fused) == set(modular)
+    for cid, f in fused.items():
+        m = modular[cid]
+        for c in cols:
+            assert f[c] == m[c], (cid, c, f[c], m[c])
+
+
+def test_run_plan_single_python_node(spark, fixture_dir):
+    """The production plan must evaluate exactly ONE ArrowEvalPython
+    node: each extra Python node re-spools the full pass-through row
+    (incl. multi-KB audio bytes) through a JVM row queue — measured
+    ~35 s per node at sf0.1/local[32]."""
+    from ungoliant_spark.plans.pipeline import run
+
+    clips = spark.read.parquet(f"{fixture_dir}/clips.parquet")
+    plan = run(clips, TERM_MAP, n_partitions=8)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan.count("ArrowEvalPython")
+    assert plan.count("BatchEvalPython") == 0
+
+
+def test_bytes_never_enter_python_stage(spark, fixture_dir):
+    from ungoliant_spark.plans.pipeline import run
+
+    clips = spark.read.parquet(f"{fixture_dir}/clips.parquet")
+    for out in (
+        kept_output(decide(clips, TERM_MAP)),
+        run(clips, TERM_MAP),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" in plan  # the model stage exists
+        for line in plan.splitlines():
+            # no Python-boundary node may list the audio column as input
+            if "Python" in line or "InPandas" in line:
+                assert "bytes#" not in line.split("],")[0], line
 
 
 def test_pcm_passthrough_snr(spark, fixture_dir):

@@ -104,6 +104,23 @@ class ArpaModel:
 
     @classmethod
     def load(cls, path: str) -> "ArpaModel":
+        """Dispatch on artifact kind (.binary preferred by callers)."""
+        if path.endswith(".binary"):
+            return cls.load_binary(path)
+        return cls.load_arpa(path)
+
+    @classmethod
+    def load_binary(cls, path: str) -> "ArpaModel":
+        import pickle
+
+        with open(path, "rb") as f:
+            magic = f.read(len(BINARY_MAGIC))
+            if magic != BINARY_MAGIC:
+                raise ValueError(f"{path}: not a USARPA1 binary model")
+            return cls(pickle.load(f))
+
+    @classmethod
+    def load_arpa(cls, path: str) -> "ArpaModel":
         model: dict[int, dict] = {}
         cur_n = None
         with open(path, encoding="utf-8") as f:
@@ -161,6 +178,44 @@ class ArpaModel:
         if scored == 0:
             return float("inf")
         return 10.0 ** (-total / scored)
+
+
+BINARY_MAGIC = b"USARPA1\n"
+
+
+def compile_binary(arpa_path: str, bin_path: str | None = None) -> str:
+    """Pre-parse an .arpa file into a .binary artifact (our analog of
+    KenLM's build_binary): loading skips text parsing entirely. The
+    reference prefers `<lang>.binary` over `<lang>.arpa` when both
+    exist (src/transformers/kenlm/lru.rs:86-91)."""
+    import pickle
+
+    bin_path = bin_path or arpa_path[: -len(".arpa")] + ".binary"
+    model = ArpaModel.load_arpa(arpa_path).model
+    tmp = bin_path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(BINARY_MAGIC)
+        pickle.dump(model, f, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, bin_path)
+    return bin_path
+
+
+def load_model(lang: str, arpa_dir: str | None = None) -> "ArpaModel | None":
+    """Load the model for a language, preferring `<lang>.binary` over
+    `<lang>.arpa` (lru.rs:86-91). When only the .arpa exists, a
+    .binary is compiled beside it for subsequent loads (best-effort —
+    read-only model dirs just re-parse the text each time)."""
+    d = arpa_dir or ARPA_DIR
+    bin_path = os.path.join(d, f"{lang}.binary")
+    arpa_path = os.path.join(d, f"{lang}.arpa")
+    if os.path.exists(bin_path):
+        return ArpaModel.load_binary(bin_path)
+    if not os.path.exists(arpa_path):
+        return None
+    try:
+        return ArpaModel.load_binary(compile_binary(arpa_path, bin_path))
+    except OSError:
+        return ArpaModel.load_arpa(arpa_path)
 
 
 def model_path(lang: str) -> str:

@@ -69,6 +69,38 @@ def categories_via_broadcast_join(
     return df.join(hits, id_col, "left")
 
 
+def load_ut1_dir(root: str) -> dict[str, str]:
+    """Ingest a UT1-format blocklist directory tree — the layout the
+    reference consumes (src/transformers/content_detector.rs:26-64 via
+    the ut1_blocklist crate): one subdirectory per category, each
+    holding newline-delimited ``domains`` / ``urls`` / ``expressions``
+    files (we also accept ``terms`` for the audio adaptation). Every
+    non-empty, non-comment line becomes a lowercased term mapped to
+    its category, feeding the same term→category operators above —
+    so a real UT1 download is drop-in.
+
+    A term listed under several categories keeps the lexicographically
+    first category (deterministic)."""
+    import os
+
+    out: dict[str, str] = {}
+    for category in sorted(os.listdir(root)):
+        cdir = os.path.join(root, category)
+        if not os.path.isdir(cdir):
+            continue
+        for fname in ("domains", "urls", "expressions", "terms"):
+            path = os.path.join(cdir, fname)
+            if not os.path.exists(path):
+                continue
+            with open(path, encoding="utf-8", errors="replace") as f:
+                for line in f:
+                    term = line.strip().lower()
+                    if not term or term.startswith("#"):
+                        continue
+                    out.setdefault(term, category)
+    return out
+
+
 def apply_blocklist(
     df: DataFrame,
     term_to_category: dict[str, str],

@@ -273,8 +273,13 @@ def apply_lid(df: DataFrame, lines_col: str = "lines") -> DataFrame:
     already have run — Catalyst won't reorder predicates across this
     Python stage. Input column is only the lines array, so the audio
     ``bytes`` column never crosses the Arrow boundary.
+
+    The UDF is deterministic in fact but marked nondeterministic so a
+    downstream ``filter`` on its outputs cannot inline the call into
+    the predicate — that would duplicate the whole model evaluation
+    into a second ArrowEvalPython node (measured ~2× model cost).
     """
-    res = lid_udf(F.col(lines_col))
+    res = lid_udf.asNondeterministic()(F.col(lines_col))
     df = df.withColumn("_lid", res)
     return (
         df.withColumn("lang", F.col("_lid.lang"))

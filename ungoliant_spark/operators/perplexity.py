@@ -22,15 +22,13 @@ optimal.
 
 from __future__ import annotations
 
-import os
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ungoliant_spark.arpa import ARPA_DIR, ArpaModel
+from ungoliant_spark.arpa import ARPA_DIR, ArpaModel, load_model
 
 _MODELS: dict[str, ArpaModel | None] = {}  # executor-global
 
@@ -39,8 +37,9 @@ def _get_model(lang: str | None, arpa_dir: str) -> ArpaModel | None:
     if lang is None:
         return None
     if lang not in _MODELS:
-        path = os.path.join(arpa_dir, f"{lang}.arpa")
-        _MODELS[lang] = ArpaModel.load(path) if os.path.exists(path) else None
+        # load_model prefers <lang>.binary over <lang>.arpa
+        # (reference: src/transformers/kenlm/lru.rs:86-91)
+        _MODELS[lang] = load_model(lang, arpa_dir)
     return _MODELS[lang]
 
 

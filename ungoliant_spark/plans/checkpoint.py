@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ungoliant_spark.plans.pipeline import decide, kept_output
+from ungoliant_spark.plans.pipeline import run as pipeline_run
 from ungoliant_spark.sources.tables import SnapshotTable
 
 
@@ -107,8 +107,8 @@ class CheckpointedRun:
             if fail_after is not None and len(committed) >= fail_after:
                 raise RuntimeError("simulated crash between snapshots")
             part = chunk_filter(clips, chunk, n_chunks)
-            kept = kept_output(
-                decide(part, term_to_category), n_partitions
+            kept = pipeline_run(
+                part, term_to_category, n_partitions
             ).cache()
             try:
                 if not schema_written:

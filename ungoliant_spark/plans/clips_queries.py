@@ -19,7 +19,8 @@ from pyspark.sql import functions as F
 from ungoliant_spark.functions.lines import rust_lines
 from ungoliant_spark.operators.audio_ops import audio_stats, resample
 from ungoliant_spark.operators.lid import apply_lid
-from ungoliant_spark.plans.pipeline import decide, kept_output
+from ungoliant_spark.plans.pipeline import decide
+from ungoliant_spark.plans.pipeline import run as pipeline_run
 from ungoliant_spark.sources.fixtures import (
     ADULT_CATEGORY,
     ADULT_TERMS,
@@ -79,7 +80,7 @@ def q_clips_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kept sink projection (metadata only — audio stays columnar).
     Array columns are serialized to sorted CSV strings: the driver's
     canonicalizer sorts rows by every column and cannot hash lists."""
-    out = kept_output(decide(load_clips(spark, sf_dir), TERM_MAP))
+    out = pipeline_run(load_clips(spark, sf_dir), TERM_MAP)
     return out.select(
         "clip_id",
         "lang",

@@ -111,10 +111,12 @@ FINAL_COLUMNS = [
 def kept_output(
     df_decided: DataFrame, n_partitions: int | None = None
 ) -> DataFrame:
-    """Kept rows + the model annotators that only run on survivors:
-    TLSH + per-language perplexity (both narrow-column Arrow UDFs —
-    ``bytes`` never crosses into Python), then the salted
-    sort_by_lang repartition for the partitioned write."""
+    """Modular composition over decide(): kept rows + standalone TLSH
+    and perplexity operators. Produces the same rows/values as
+    ``run()`` (tested), but evaluates 3-4 Python nodes — use ``run()``
+    for anything that carries the audio ``bytes`` column to a sink
+    (each extra Python node re-spools the full row through the JVM
+    row queue; see operators/model_stage.py)."""
     kept = df_decided.filter(F.col("keep"))
     kept = apply_tlsh(kept, "content")
     kept = apply_perplexity(kept, "content", "lang_bucket")
@@ -143,7 +145,62 @@ def run(
     clips: DataFrame,
     term_to_category: dict[str, str] | None = None,
     n_partitions: int | None = None,
+    arpa_dir: str | None = None,
 ) -> DataFrame:
-    """decide + filter + model annotators + salted repartition —
-    ready for the sink."""
-    return kept_output(decide(clips, term_to_category), n_partitions)
+    """Production plan: Catalyst heuristics → ONE fused Python node
+    (LID + TLSH + perplexity, operators/model_stage.py) → keep filter
+    → blocklist/scrub (Catalyst) → salted repartition → sink columns.
+
+    vs. the modular ``kept_output(decide(...))`` composition this
+    fuses the three model UDFs into a single ArrowEvalPython node and
+    blocks the keep-filter from duplicating it, so the audio ``bytes``
+    column crosses the JVM row-queue exactly once instead of 3-4×
+    (measured 313 s → see BENCH/BASELINE.md at sf0.1). Decisions are
+    identical — same kernels, same stage order; asserted by
+    tests/test_pipeline_f1.py::test_fused_matches_modular and the
+    clips_kept driver oracle."""
+    from ungoliant_spark.operators.blocklist import apply_blocklist
+    from ungoliant_spark.operators.model_stage import make_model_stage_udf
+
+    df = apply_trim(clips)
+    df = apply_pfilter(df)
+    df = apply_annotators(df)
+    heur_keep = (
+        F.col("trim_keep") & F.col("pfilter_keep") & F.col("annotation_keep")
+    )
+    df = df.withColumn("heuristic_keep", heur_keep)
+    # heuristic drops reach the model node with a NULLED input (empty
+    # lines → O(1) in the UDF) instead of being filtered out before
+    # it: a filter below the Python node gets pushed to the scan and
+    # re-evaluates the whole interpreted higher-order heuristic chain
+    # per row — A/B measured at sf0.1/local[32]: pre-filter 35-118 s
+    # vs nulled-input 15-54 s across contention windows.
+    model_in = F.when(F.col("heuristic_keep"), F.col("lines")).otherwise(
+        F.array().cast("array<string>")
+    )
+    df = df.withColumn("_m", make_model_stage_udf(arpa_dir)(model_in))
+    df = (
+        df.withColumn("lang", F.col("_m.lang"))
+        .withColumn("lang_prob", F.col("_m.lang_prob"))
+        .withColumn("sentence_langs", F.col("_m.sentence_langs"))
+        .withColumn("tlsh", F.col("_m.tlsh"))
+        .withColumn("harmful_pp", F.col("_m.harmful_pp"))
+        .drop("_m")
+    )
+    kept = df.filter(F.col("heuristic_keep") & F.col("lang").isNotNull())
+    if term_to_category:
+        kept = apply_blocklist(kept, term_to_category)
+    else:
+        kept = kept.withColumn(
+            "categories", F.lit(None).cast("array<string>")
+        )
+    kept = apply_scrub(kept)
+    kept = kept.withColumn("lang_bucket", F.col("lang"))
+    if n_partitions:
+        kept = salted_repartition(kept, n_partitions)
+    return kept.select(
+        *[
+            F.col("scrubbed").alias("transcript") if c == "transcript" else c
+            for c in FINAL_COLUMNS
+        ]
+    )
