@@ -47,11 +47,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_check": dsq.q_zipf_check,
         "events_hourly": dsq.q_events_hourly,
         "events_running_avg": dsq.q_events_running_avg,
+        "events_sessions": dsq.q_events_sessions,
         # clips-table model/binary ops (fixture-expected-table oracles
         # + F1/SNR/parity gates in tests/)
         "clips_decisions": cq.q_clips_decisions,
         "clips_kept": cq.q_clips_kept,
         "audio_stats": cq.q_audio_stats,
+        "audio_frames": cq.q_audio_frames,
         "audio_resample": cq.q_audio_resample,
         "lid_documents": cq.q_lid_documents,
     }
@@ -78,11 +80,13 @@ def oracle_sql() -> dict[str, str]:
         "zipf_check": osqld.oracle_zipf_check(),
         "events_hourly": osqld.oracle_events_hourly(),
         "events_running_avg": osqld.oracle_events_running_avg(),
+        "events_sessions": osqld.oracle_events_sessions(),
         # clips-table model/binary ops: fixture-expected-table oracles
         # (ground truth computed outside Spark; see oracle_sql_clips)
         "clips_decisions": osqlc.oracle_clips_decisions(),
         "clips_kept": osqlc.oracle_clips_kept(),
         "audio_stats": osqlc.oracle_audio_stats(),
+        "audio_frames": osqlc.oracle_audio_frames(),
         "audio_resample": osqlc.oracle_audio_resample(),
         "lid_documents": osqlc.oracle_lid_documents(),
     }

@@ -133,3 +133,28 @@ def test_sessionize_events(spark, events_stream_src):
     # closed sessions only — every session respects the 30-min gap rule
     assert (got["session_end"] >= got["session_start"]).all()
     assert (got["n_events"] >= 1).all()
+
+    # cross-validate against the batch twin (window-function
+    # sessionization, plans/dataset_queries.q_events_sessions): every
+    # stream-closed session must appear verbatim in the batch result,
+    # and the batch has EXACTLY one extra session per user — the
+    # trailing one that never saw a closing gap and stays in state
+    from ungoliant_spark.plans.dataset_queries import q_events_sessions
+
+    batch = q_events_sessions(spark, "/root/testdata/sf0.001").toPandas()
+
+    def key(df):
+        return {
+            (r.user_id, str(r.session_start), str(r.session_end),
+             r.n_events, round(r.sum_value, 4))
+            for r in df.itertuples()
+        }
+
+    streamed, full = key(got), key(batch)
+    assert streamed <= full
+    open_per_user = batch.groupby("user_id").size() - (
+        got.groupby("user_id").size().reindex(
+            batch["user_id"].unique(), fill_value=0
+        )
+    )
+    assert (open_per_user == 1).all()

@@ -61,12 +61,14 @@ def _expected_audio_rows(clip_id, data, codec, sr):
         return {
             "clip_id": clip_id, "decode_ok": False, "n_samples": None,
             "rms": None, "peak": None, "zcr": None, "centroid_hz": None,
+            "frame_energy": None,
             "target_sr": 16000, "n_samples_out": None, "n_bytes_out": None,
         }
     x = pcm.astype(np.float64)
     n = len(x)
     if n == 0:
         rms, peak, zcr, centroid = 0.0, 0, 0.0, 0.0
+        frames = [0.0] * 8
     else:
         rms = float(np.sqrt((x * x).sum() / n))
         peak = int(np.abs(pcm).max())
@@ -81,6 +83,13 @@ def _expected_audio_rows(clip_id, data, codec, sr):
         freqs = np.fft.rfftfreq(len(seg), d=1.0 / sr)
         denom = float(spec.sum())
         centroid = float((freqs * spec).sum() / denom) if denom > 0 else 0.0
+        bounds = np.linspace(0, n, 9, dtype=int)
+        frames = [
+            float(np.sqrt(np.sum(x[a:b] * x[a:b]) / (b - a)))
+            if b > a
+            else 0.0
+            for a, b in zip(bounds[:-1], bounds[1:])
+        ]
     # resample contract: linear interp to 16 kHz, int16 re-encode
     n_out = max(1, int(round(n * 16000 / int(sr)))) if n else 1
     return {
@@ -91,6 +100,7 @@ def _expected_audio_rows(clip_id, data, codec, sr):
         "peak": peak,
         "zcr": np.float32(zcr),
         "centroid_hz": np.float32(centroid),
+        "frame_energy": [np.float32(f) for f in frames],
         "target_sr": 16000,
         "n_samples_out": n_out,
         "n_bytes_out": 2 * n_out,
@@ -106,6 +116,7 @@ AUDIO_EXPECTED_SCHEMA = pa.schema(
         ("peak", pa.int32()),
         ("zcr", pa.float32()),
         ("centroid_hz", pa.float32()),
+        ("frame_energy", pa.list_(pa.float32())),
         ("target_sr", pa.int32()),
         ("n_samples_out", pa.int64()),
         ("n_bytes_out", pa.int64()),
@@ -114,7 +125,7 @@ AUDIO_EXPECTED_SCHEMA = pa.schema(
 
 
 def ensure_audio_expected(sf: float = ORACLE_SF) -> str:
-    out = os.path.join(EXPECTED_DIR, f"audio_sf{sf}.parquet")
+    out = os.path.join(EXPECTED_DIR, f"audio_sf{sf}_v2.parquet")
     if os.path.exists(out):
         return out
     os.makedirs(EXPECTED_DIR, exist_ok=True)
@@ -229,6 +240,18 @@ SELECT clip_id, decode_ok, n_samples,
   round(zcr::DOUBLE, 5) AS zcr,
   round(centroid_hz::DOUBLE, 2) AS centroid_hz
 FROM read_parquet('{exp}')
+"""
+
+
+def oracle_audio_frames() -> str:
+    exp = ensure_audio_expected()
+    return f"""
+SELECT clip_id, CAST(u.f.i - 1 AS INTEGER) AS frame_idx,
+  round(u.f.e::DOUBLE, 3) AS energy
+FROM read_parquet('{exp}'),
+  unnest(list_transform(frame_energy,
+                        (x, i) -> struct_pack(i := i, e := x))) AS u(f)
+WHERE decode_ok
 """
 
 

@@ -389,6 +389,33 @@ FROM events GROUP BY 1, 2
 """
 
 
+def oracle_events_sessions(gap_minutes: int = 30) -> str:
+    """Gap sessionization via lag + cumulative flag sum — independent
+    recomputation of dataset_queries.q_events_sessions."""
+    return f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w)
+              > {gap_minutes} * 60 * 1000
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, CAST(sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+  min(ts) AS session_start,
+  max(ts) AS session_end,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(sum(value), 6) AS sum_value
+FROM numbered GROUP BY user_id, session_idx
+"""
+
+
 def oracle_events_running_avg() -> str:
     return """
 SELECT event_id, user_id,

@@ -113,6 +113,20 @@ def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip energy frames in long format (the audio analog of
+    video frame-sampling) — one row per (clip, frame index)."""
+    stats = audio_stats(load_clips(spark, sf_dir))
+    return stats.filter(F.col("decode_ok")).select(
+        "clip_id",
+        F.posexplode("frame_energy").alias("frame_idx", "energy"),
+    ).select(
+        "clip_id",
+        "frame_idx",
+        F.round(F.col("energy").cast("double"), 3).alias("energy"),
+    )
+
+
 def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = resample(load_clips(spark, sf_dir), target_sr=16000)
     return res.select(

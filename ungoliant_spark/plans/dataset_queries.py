@@ -137,6 +137,37 @@ def q_events_running_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("user_id") < 100)
 
 
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session)
+    as pure window functions — the batch twin of the streaming
+    ``applyInPandasWithState`` sessionizer
+    (streaming/quality_stream.py::sessionize_events). Batch closes
+    every session including the trailing open one."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = 30 * 60 * 1000
+    prev_ts = F.lag("ts").over(w)
+    # events.ts is TIMESTAMP_NTZ; cast through TIMESTAMP (session tz
+    # is pinned to UTC) for epoch-ms arithmetic — only differences
+    # matter, so the interpretation offset cancels
+    ms = lambda c: F.unix_millis(c.cast("timestamp"))  # noqa: E731
+    new_session = (
+        prev_ts.isNull() | ((ms(F.col("ts")) - ms(prev_ts)) > F.lit(gap_ms))
+    ).cast("long")
+    sess = ev.withColumn(
+        "session_idx",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
 def q_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregation over the quality score — partial-agg groupBy."""
     df = _docs(spark, sf_dir)

@@ -118,14 +118,14 @@ SESSION_SCHEMA = T.StructType(
 
 _STATE_SCHEMA = T.StructType(
     [
-        T.StructField("start_ms", T.LongType()),
-        T.StructField("end_ms", T.LongType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
         T.StructField("n", T.LongType()),
         T.StructField("s", T.DoubleType()),
     ]
 )
 
-SESSION_GAP_MS = 30 * 60 * 1000
+SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
 def _sessionize_group(
@@ -139,14 +139,14 @@ def _sessionize_group(
     (user_id,) = key
     if state.hasTimedOut:
         if state.exists:
-            start_ms, end_ms, n, s = state.get
+            start_us, end_us, n, s = state.get
             state.remove()
             yield pd.DataFrame(
                 [
                     {
                         "user_id": user_id,
-                        "session_start": pd.Timestamp(start_ms, unit="ms"),
-                        "session_end": pd.Timestamp(end_ms, unit="ms"),
+                        "session_start": pd.Timestamp(start_us, unit="us"),
+                        "session_end": pd.Timestamp(end_us, unit="us"),
                         "n_events": n,
                         "sum_value": s,
                     }
@@ -155,30 +155,32 @@ def _sessionize_group(
         return
     rows = pd.concat(list(pdfs)).sort_values("ts")
     if state.exists:
-        start_ms, end_ms, n, s = state.get
+        start_us, end_us, n, s = state.get
     else:
-        start_ms = end_ms = None
+        start_us = end_us = None
         n, s = 0, 0.0
     closed = []
     for ts, value in zip(rows["ts"], rows["value"]):
-        t_ms = int(pd.Timestamp(ts).value // 1_000_000)
-        if start_ms is None:
-            start_ms, end_ms, n, s = t_ms, t_ms, 1, float(value)
-        elif t_ms - end_ms > SESSION_GAP_MS:
-            closed.append((start_ms, end_ms, n, s))
-            start_ms, end_ms, n, s = t_ms, t_ms, 1, float(value)
+        # microsecond precision: the source timestamps carry sub-ms
+        # digits and the batch twin (q_events_sessions) keeps them
+        t_us = int(pd.Timestamp(ts).value // 1_000)
+        if start_us is None:
+            start_us, end_us, n, s = t_us, t_us, 1, float(value)
+        elif t_us - end_us > SESSION_GAP_US:
+            closed.append((start_us, end_us, n, s))
+            start_us, end_us, n, s = t_us, t_us, 1, float(value)
         else:
-            end_ms = max(end_ms, t_ms)
+            end_us = max(end_us, t_us)
             n += 1
             s += float(value)
-    state.update((start_ms, end_ms, n, s))
+    state.update((start_us, end_us, n, s))
     if closed:
         yield pd.DataFrame(
             [
                 {
                     "user_id": user_id,
-                    "session_start": pd.Timestamp(a, unit="ms"),
-                    "session_end": pd.Timestamp(b, unit="ms"),
+                    "session_start": pd.Timestamp(a, unit="us"),
+                    "session_end": pd.Timestamp(b, unit="us"),
                     "n_events": nn,
                     "sum_value": ss,
                 }
