@@ -44,6 +44,17 @@ def get_spark(
         # multi-KB binary rows an 8g heap GC-thrashes (measured: 32 cores
         # ran 2× SLOWER than 8). Size like an executor fleet instead.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # Arrow batches and row-queue pages for multi-KB binary rows
+        # are 8-32 MB objects: with G1's default region size at this
+        # heap they are "humongous" allocations, each triggering
+        # region-scan bookkeeping — measured 2.3× slower on the
+        # pipeline leg. 32 MB regions make them ordinary allocations.
+        # Capped GC threads keep pauses predictable when the host
+        # steals CPU (shared-VM sandbox).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:G1HeapRegionSize=32m -XX:ParallelGCThreads=8",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
