@@ -99,35 +99,116 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact n-gram Jaccard ≥ threshold pairs (a < b). Shuffle on the
-    shingle hash; per-pair counts are a map-side-combinable agg."""
-    sh = df.select(
+    """Exact n-gram Jaccard ≥ threshold pairs (a < b).
+
+    Exact-duplicate hardening: documents with IDENTICAL shingle sets
+    are grouped first (groupBy on the sorted shingle array — exact,
+    no hash-collision risk) and only one representative per group
+    enters the quadratic shingle self-join; group members are
+    expanded back afterwards (intra-group pairs have Jaccard 1 by
+    definition, inter-group pairs inherit the representative score).
+    A crawl corpus is dominated by exact dups, so without this the
+    self-join blows up quadratically in dup-cluster size — the
+    round-1 scale criticism of this operator. The remaining join is
+    quadratic only in NEAR-dup (non-identical) cluster size, which is
+    inherent: the exact output itself is that large. The DuckDB
+    oracle stays the naive all-pairs formulation, so the driver
+    hash-check proves the rewrite emits identical rows."""
+    sh0 = df.select(
         F.col(id_col).alias("id"),
-        F.explode(shingles_of(F.col(text_col), n)).alias("shingle"),
+        F.array_sort(shingles_of(F.col(text_col), n)).alias("sh"),
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
+    groups = sh0.groupBy("sh").agg(
+        F.min("id").alias("rep"), F.collect_list("id").alias("ids")
+    )
+    # representative-level exact pair scores with PREFIX FILTERING
+    # (AllPairs/PPJoin, Bayardo et al. WWW'07): for J(A,B) ≥ t, the
+    # two sets must share an element within each set's first
+    # |S| - ceil(t·|S|) + 1 shingles under a global order (here:
+    # ascending hash value — the arrays are already sorted). Indexing
+    # only prefixes shrinks the inverted-index self-join by ~t of the
+    # postings; survivors are verified with the exact Jaccard on the
+    # full sets, so the result is identical to the naive join (the
+    # DuckDB oracle keeps the naive form as proof).
+    with_len = groups.select(
+        F.col("rep").alias("id"),
+        "sh",
+        F.size("sh").alias("sz"),
+    )
+    prefix_len = (
+        F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).cast("int")
+    pref = with_len.select(
+        "id", F.explode(F.slice("sh", 1, prefix_len)).alias("shingle")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
+        .select(F.col("a.id").alias("rep_a"), F.col("b.id").alias("rep_b"))
+        .dropDuplicates(["rep_a", "rep_b"])
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("size_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("size_b"))
-    return (
-        common.join(sa, "id_a").join(sb, "id_b")
+    va = with_len.select(
+        F.col("id").alias("rep_a"), F.col("sh").alias("sh_a"),
+        F.col("sz").alias("size_a"),
+    )
+    vb = with_len.select(
+        F.col("id").alias("rep_b"), F.col("sh").alias("sh_b"),
+        F.col("sz").alias("size_b"),
+    )
+    inter_sz = F.size(F.array_intersect("sh_a", "sh_b"))
+    rep_pairs = (
+        cand.join(va, "rep_a").join(vb, "rep_b")
         .withColumn(
             "jaccard",
             F.round(
-                F.col("n_common").cast("double")
-                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                inter_sz.cast("double")
+                / (F.col("size_a") + F.col("size_b") - inter_sz),
                 6,
             ),
         )
         .filter(F.col("jaccard") >= F.lit(threshold))
-        .select("id_a", "id_b", "jaccard")
+        .select("rep_a", "rep_b", "jaccard")
     )
+    # expand inter-group pairs (each unordered doc pair occurs in
+    # exactly one (rep_a, rep_b) product — no dedup needed)
+    ga = groups.select(F.col("rep").alias("rep_a"), F.col("ids").alias("ids_a"))
+    gb = groups.select(F.col("rep").alias("rep_b"), F.col("ids").alias("ids_b"))
+    inter = (
+        rep_pairs.join(ga, "rep_a").join(gb, "rep_b")
+        .select(F.explode("ids_a").alias("x"), "ids_b", "jaccard")
+        .select("x", F.explode("ids_b").alias("y"), "jaccard")
+        .select(
+            F.least("x", "y").alias("id_a"),
+            F.greatest("x", "y").alias("id_b"),
+            "jaccard",
+        )
+    )
+    # intra-group pairs: identical shingle sets → Jaccard exactly 1.0
+    intra_pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x: F.transform(
+                    F.col("ids"),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        ),
+        lambda p: p["id_a"] < p["id_b"],
+    )
+    intra = (
+        groups.filter(F.size("ids") > 1)
+        .select(F.explode(intra_pairs).alias("p"))
+        .select(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    if threshold > 1.0:
+        intra = intra.filter(F.lit(False))
+    return inter.unionByName(intra)
 
 
 def minhash_signature(text: Column, n: int = 3) -> Column:
