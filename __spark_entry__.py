@@ -33,6 +33,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heuristic_keep": dq.q_heuristic_keep,
         "pii_scrub": dq.q_pii_scrub,
         "keep_stats": dq.q_keep_stats,
+        "meanlength": dq.q_meanlength,
+        "conv_trim": dq.q_conv_trim,
         # training-data pipeline ops
         "dedup_exact": dsq.q_dedup_exact,
         "dedup_jaccard": dsq.q_dedup_jaccard,
@@ -67,6 +69,8 @@ def oracle_sql() -> dict[str, str]:
         "heuristic_keep": osql.oracle_heuristic_keep(),
         "pii_scrub": osql.oracle_pii_scrub(),
         "keep_stats": osql.oracle_keep_stats(),
+        "meanlength": osql.oracle_meanlength(),
+        "conv_trim": osql.oracle_conv_trim(),
         "dedup_exact": osqld.oracle_dedup_exact(),
         "dedup_jaccard": osqld.oracle_dedup_jaccard(),
         "dedup_minhash": osqld.oracle_dedup_minhash(),

@@ -132,6 +132,56 @@ def noisy_tiny_drop(warnings: list[str]) -> bool:
     return set(warnings) == C.NOISY_TINY_DROP and len(warnings) == 2
 
 
+def mean_length_flags(lines: list[str]) -> list[bool]:
+    """MeanLength::detect_mut transcription (sentence.rs:44-112):
+    update running mean / population std with the line's codepoint
+    length, THEN keep iff |len - mean| < std. First line: std=0 →
+    dropped."""
+    flags = []
+    n = 0
+    s = 0.0
+    p = 0.0
+    for ln in lines:
+        length = float(len(ln))
+        n += 1
+        s += length
+        p += length * length
+        mean = s / n
+        std = math.sqrt(p / n - mean * mean)
+        flags.append(abs(length - mean) < std)
+    return flags
+
+
+def conv_trim(
+    lines: list[str], conv_size: int = 5, min_length: float = 100.0
+) -> tuple[int | None, int | None, str | None]:
+    """Conv::transform_idx transcription (sentence_filter.rs:70-149):
+    edge-padded window-`conv_size` moving average over BYTE lengths
+    in f32, trim both ends while convolved < min_length. Returns
+    (start, end, content) inclusive, or (None, None, None) — our spec
+    for the empty doc, where the reference panics on first().unwrap().
+    """
+    import numpy as np
+
+    if not lines:
+        return None, None, None
+    lens = [np.float32(len(ln.encode("utf-8"))) for ln in lines]
+    pad = conv_size // 2
+    padded = [lens[0]] * pad + lens + [lens[-1]] * pad
+    conv = []
+    for i in range(len(lines)):
+        acc = np.float32(0.0)
+        for v in padded[i : i + conv_size]:
+            acc = np.float32(acc + v)
+        conv.append(np.float32(acc / np.float32(conv_size)))
+    ok = [c >= np.float32(min_length) for c in conv]
+    if not any(ok):
+        return None, None, None
+    start = ok.index(True)
+    end = len(ok) - 1 - ok[::-1].index(True)
+    return start, end, "\n".join(lines[start : end + 1])
+
+
 def scrub(text: str) -> str:
     """The frozen PII chain (operators/scrub.py) via Python re —
     identical greedy, lookaround-free patterns."""

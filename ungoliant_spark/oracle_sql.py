@@ -130,6 +130,77 @@ def oracle_pii_scrub() -> str:
     )
 
 
+def oracle_meanlength() -> str:
+    """MeanLength flags: prefix mean/population-std INCLUDING the
+    current line (update-then-test). All sums are over integer
+    codepoint lengths, so double arithmetic is exact and the strict
+    '<' agrees bit-for-bit with the engine. mean² is written as
+    mean*mean (pow() could differ in the last ulp)."""
+    mean = "(list_sum(lens[1:i]) / i)"
+    powd = "(list_sum(list_transform(lens[1:i], v -> v * v)) / i)"
+    return f"""
+WITH lined AS (
+  SELECT doc_id, list_transform(({_LINES}), x -> length(x)::DOUBLE) AS lens
+  FROM documents
+)
+SELECT doc_id,
+  COALESCE(array_to_string(
+    list_transform(lens, (x, i) ->
+      CASE WHEN abs(x - {mean}) < sqrt({powd} - {mean} * {mean})
+           THEN '1' ELSE '0' END),
+    ','), '') AS flags
+FROM lined
+"""
+
+
+def oracle_conv_trim(conv_size: int = 5, min_length: float = 100.0) -> str:
+    """Conv trimmer: window-5 moving average over BYTE lengths
+    (strlen), edge-padded, trim both ends while conv < 100. Double
+    math here equals the engine's f32 math because every intermediate
+    (byte counts, window sums) is an exact small integer and x/5
+    cannot straddle the 100.0 boundary between f32 and f64 for
+    integer x (only x=500 hits it, exactly, in both)."""
+    pad = conv_size // 2
+    pad_start = "[" + ", ".join(["ls[1]"] * pad) + "]"
+    pad_end = "[" + ", ".join(["ls[-1]"] * pad) + "]"
+    return f"""
+WITH lined AS (
+  SELECT doc_id, ({_LINES}) AS lines FROM documents
+), lens AS (
+  SELECT doc_id, lines,
+    list_transform(lines, x -> strlen(x)::DOUBLE) AS ls
+  FROM lined
+), padded AS (
+  SELECT doc_id, lines, ls,
+    list_concat(list_concat({pad_start}, ls), {pad_end}) AS pl
+  FROM lens
+), conv AS (
+  SELECT doc_id, lines,
+    list_transform(ls, (x, i) ->
+      list_sum(pl[i:i+{conv_size - 1}]) / {conv_size}) AS cv
+  FROM padded
+), flagged AS (
+  SELECT doc_id, lines,
+    list_transform(cv, c -> c >= {min_length}) AS ok
+  FROM conv
+), bounds AS (
+  SELECT doc_id, lines,
+    NULLIF(list_position(ok, true), 0) AS first_pos,
+    CASE WHEN NULLIF(list_position(ok, true), 0) IS NOT NULL
+         THEN len(ok) - list_position(list_reverse(ok), true) + 1
+    END AS last_pos
+  FROM flagged
+)
+SELECT doc_id,
+  CAST(first_pos - 1 AS INTEGER) AS line_start,
+  CAST(last_pos - 1 AS INTEGER) AS line_end,
+  CASE WHEN first_pos IS NOT NULL
+       THEN array_to_string(lines[first_pos:last_pos], chr(10))
+       ELSE '' END AS content
+FROM bounds
+"""
+
+
 def oracle_keep_stats() -> str:
     return (
         _BASE

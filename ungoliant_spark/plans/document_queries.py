@@ -78,6 +78,42 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", scrub(F.col("text")).alias("scrubbed"))
 
 
+def q_meanlength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MeanLength per-line keep flags (sentence.rs:44-112) — the
+    reference's unwired running-mean/std sentence filter, serialized
+    as a '1'/'0' CSV string per doc for the driver canonicalizer."""
+    from ungoliant_spark.functions.lines import rust_lines
+    from ungoliant_spark.operators.extra_filters import meanlength_flags
+
+    df = load_documents(spark, sf_dir)
+    flags = meanlength_flags(rust_lines(F.col("text")))
+    return df.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                flags, lambda b: F.when(b, F.lit("1")).otherwise(F.lit("0"))
+            ),
+            ",",
+        ).alias("flags"),
+    )
+
+
+def q_conv_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conv moving-average trimmer (sentence_filter.rs:70-149) — the
+    reference's unwired convolutional RemoveShortSentences variant."""
+    from ungoliant_spark.operators.extra_filters import apply_conv_trim
+
+    df = load_documents(spark, sf_dir).withColumnRenamed(
+        "text", "transcript"
+    )
+    return apply_conv_trim(df).select(
+        "doc_id",
+        F.col("conv_line_start").alias("line_start"),
+        F.col("conv_line_end").alias("line_end"),
+        F.coalesce("conv_content", F.lit("")).alias("content"),
+    )
+
+
 def q_keep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source keep metrics — the metrics-table aggregation
     (reference per-lang doc counts, pipeline.rs:371) exercised as a
