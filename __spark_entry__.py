@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": dsq.q_dedup_simhash_pairs,
         "knn_cosine": dsq.q_knn_cosine,
         "knn_ann_lsh": dsq.q_knn_ann_lsh,
+        "knn_ann_ivf": dsq.q_knn_ann_ivf,
         "text_stats": dsq.q_text_stats,
         "quality_by_source": dsq.q_quality_by_source,
         "zipf_check": dsq.q_zipf_check,
@@ -79,6 +80,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": osqld.oracle_dedup_simhash_pairs(),
         "knn_cosine": osqld.oracle_knn_cosine(),
         "knn_ann_lsh": osqld.oracle_knn_ann_lsh(),
+        "knn_ann_ivf": osqld.oracle_knn_ann_ivf(),
         "text_stats": osqld.oracle_text_stats(),
         "quality_by_source": osqld.oracle_quality_by_source(),
         "zipf_check": osqld.oracle_zipf_check(),

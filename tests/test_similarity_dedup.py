@@ -58,6 +58,27 @@ def test_embedding_near_dup_constructed(spark):
     assert pairs[(0, 1)] >= 0.95
 
 
+def test_ann_ivf_recall_vs_brute(spark):
+    """IVF-flat (modulo-seeded centroids, nprobe=4): every result is
+    a genuine cosine computation, and recall vs brute force is real
+    (multi-probe covers the cell-boundary cases)."""
+    from ungoliant_spark.operators.similarity import ann_ivf_topk
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 20)
+    brute = cosine_topk(embs, queries, k=5).collect()
+    ivf = ann_ivf_topk(embs, queries, k=5).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.2, recall
+    brute_sims = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in brute}
+    for r in ivf:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in brute_sims:
+            assert abs(r["sim"] - brute_sims[key]) < 1e-9
+
+
 def test_embedding_near_dup_lsh_recall(spark):
     """The LSH-bucketed production path vs the all-pairs exact
     baseline: at near-dup similarity (≥0.95) recall must be ~1 —

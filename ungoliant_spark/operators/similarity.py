@@ -178,6 +178,84 @@ def lsh_keys(vec: Column) -> Column:
     )
 
 
+IVF_STRIDE = 97  # deterministic coarse-quantizer seed: vec_id % 97 == 0
+IVF_NPROBE = 4
+
+
+def _centroids(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Deterministic coarse quantizer: every STRIDE-th vector is a
+    centroid (≈N/97 cells). Production would refine these with Lloyd
+    iterations (assign → posexplode → groupBy(cell,dim) avg) — the
+    query-time layout below is unchanged by the training rule."""
+    return embeddings.filter(
+        F.col(id_col) % IVF_STRIDE == 0
+    ).select(
+        F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cv")
+    )
+
+
+def _assign_cells(
+    df: DataFrame, cents: DataFrame, n_cells: int
+) -> DataFrame:
+    """Rank centroids per vector by cosine (ties → lowest cid) and
+    keep the best ``n_cells`` — cell 1 is the IVF assignment, >1 are
+    multi-probe cells for the query side."""
+    joined = df.crossJoin(F.broadcast(cents))
+    sim = F.round(cosine(F.col("v"), F.col("cv")), 6)
+    w = Window.partitionBy("id").orderBy(F.desc("csim"), F.asc("cid"))
+    return (
+        joined.withColumn("csim", sim)
+        .withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= n_cells)
+        .select("id", "v", "cid")
+    )
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: corpus vectors are bucketed into
+    the cell of their nearest centroid (inverted file); each query
+    scans only its ``nprobe`` nearest cells. The second scale path
+    beside :func:`ann_lsh_topk` — at 10⁹ vectors a query touches
+    ~nprobe/C of the corpus instead of all of it, and the
+    corpus-side assignment is a broadcast join (centroids are tiny)
+    followed by one shuffle on the cell key."""
+    base = embeddings.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    cents = _centroids(embeddings, id_col, vec_col)
+    corpus_cells = _assign_cells(base, cents, 1).select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("nv"), "cid"
+    )
+    qbase = queries.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    query_cells = _assign_cells(qbase, cents, nprobe).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), "cid"
+    )
+    joined = (
+        corpus_cells.join(F.broadcast(query_cells), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sim = F.round(cosine(F.col("qv"), F.col("nv")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        joined.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

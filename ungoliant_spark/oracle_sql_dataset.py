@@ -314,6 +314,49 @@ def _stop_hits(lang: str) -> str:
     return f"len(list_filter(toks, t -> list_contains({lit}, t)))"
 
 
+def oracle_knn_ann_ivf(
+    n_query: int = 20, k: int = 5, stride: int = 97, nprobe: int = 4
+) -> str:
+    """SQL twin of similarity.ann_ivf_topk: modulo-seeded centroids,
+    per-vector centroid ranking by rounded cosine (ties → lowest
+    centroid id), corpus keeps its cell, queries probe nprobe cells."""
+    csim = _COS.format(a="v.e", b="c.e")
+    sim = _COS.format(a="vq.e", b="vc.e")
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, e FROM v WHERE vec_id % {stride} = 0
+), ranked_cells AS (
+  SELECT v.vec_id AS id, c.cid,
+    row_number() OVER (
+      PARTITION BY v.vec_id
+      ORDER BY {csim} DESC, c.cid ASC) AS crank
+  FROM v, cents c
+), corpus_cells AS (
+  SELECT id AS neighbor_id, cid FROM ranked_cells WHERE crank = 1
+), query_cells AS (
+  SELECT id AS query_id, cid FROM ranked_cells
+  WHERE crank <= {nprobe} AND id < {n_query}
+), cand AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM query_cells q JOIN corpus_cells c USING (cid)
+  WHERE query_id <> neighbor_id
+), s AS (
+  SELECT query_id, neighbor_id, {sim} AS sim
+  FROM cand
+  JOIN v vq ON vq.vec_id = query_id
+  JOIN v vc ON vc.vec_id = neighbor_id
+), final_ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, sim
+FROM final_ranked WHERE rank <= {k}
+"""
+
+
 def oracle_text_stats() -> str:
     hits_total = " + ".join(_stop_hits(lg) for lg in STOPWORDS)
     guess = "NULL"

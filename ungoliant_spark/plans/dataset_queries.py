@@ -68,6 +68,15 @@ def q_knn_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_lsh_topk(embs, queries, k=TOPK)
 
 
+def q_knn_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (inverted-file cells + nprobe multi-probe) — the
+    second approximate scale path beside LSH; recall vs brute force
+    asserted in tests."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < N_QUERY_VECS)
+    return sim.ann_ivf_topk(embs, queries, k=TOPK)
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("text")
     return _docs(spark, sf_dir).select(
