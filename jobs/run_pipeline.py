@@ -21,7 +21,15 @@ from __future__ import annotations
 
 import argparse
 import csv
+import os
 import sys
+
+# `python jobs/run_pipeline.py` puts jobs/ (not the repo root) on
+# sys.path; make the source checkout importable. On a cluster the
+# package arrives via --py-files and this is a no-op.
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
 
 def parse_blocklist(path: str | None) -> dict[str, str] | None:
@@ -51,12 +59,21 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--format", choices=["snapshot", "iceberg"], default="snapshot")
     args = p.parse_args(argv)
 
-    from pyspark.sql import SparkSession
+    # Under spark-submit the JVM already exists (PYSPARK_GATEWAY_PORT
+    # is set) and master/memory come from submit flags. Run directly
+    # from a source checkout and the default 1g driver heap OOMs the
+    # vectorized parquet reader on multi-MB audio rows — use the
+    # scale-aware session factory instead.
+    if os.environ.get("PYSPARK_GATEWAY_PORT"):
+        from pyspark.sql import SparkSession
 
-    # on a cluster, master/memory/etc. come from spark-submit;
+        spark = SparkSession.builder.appName("ungoliant-pipeline").getOrCreate()
+    else:
+        from ungoliant_spark.session import get_spark
+
+        spark = get_spark("ungoliant-pipeline")
     # runtime-settable SQL confs for binary-heavy tables are set here
     # so the job is safe regardless of submit flags
-    spark = SparkSession.builder.appName("ungoliant-pipeline").getOrCreate()
     spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "1024")
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
     spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,62 @@
+"""End-to-end smoke of the spark-submit entrypoint
+(jobs/run_pipeline.py, snapshot format): run the CLI twice on the
+sf0.001 fixture with a UT1-style blocklist directory — first run
+commits everything and writes metadata_schema.json, second run is a
+no-op resume."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, ".cache", "test_cli_out")
+
+
+def _run_cli(args: list[str]) -> str:
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    res = subprocess.run(
+        [sys.executable, "jobs/run_pipeline.py", *args],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    return res.stdout
+
+
+def test_cli_snapshot_run_and_resume(tmp_path):
+    from ungoliant_spark.sources.fixtures import ADULT_TERMS, generate
+
+    clips = os.path.join(generate(0.001, with_labels=False), "clips.parquet")
+    bl = tmp_path / "ut1" / "adult"
+    bl.mkdir(parents=True)
+    (bl / "terms").write_text("\n".join(ADULT_TERMS))
+    shutil.rmtree(OUT, ignore_errors=True)
+
+    out1 = _run_cli(
+        ["--input", clips, "--output", OUT, "--chunks", "4",
+         "--blocklist", str(tmp_path / "ut1")]
+    )
+    assert "committed 4 new chunks" in out1
+    assert os.path.exists(os.path.join(OUT, "metadata_schema.json"))
+    schema = json.load(open(os.path.join(OUT, "metadata_schema.json")))
+    names = {f["name"] for f in schema["fields"]}
+    assert {"clip_id", "bytes", "lang", "tlsh", "harmful_pp"} <= names
+
+    # all three tables committed the same chunk set
+    from ungoliant_spark.plans.checkpoint import CheckpointedRun
+
+    run = CheckpointedRun(OUT)
+    assert len(run.committed_chunks()) == 4
+    assert run.kept.verify_checksums() == []
+
+    # resume: nothing new
+    out2 = _run_cli(["--input", clips, "--output", OUT, "--chunks", "4"])
+    assert "committed 0 new chunks" in out2
+    shutil.rmtree(OUT, ignore_errors=True)
