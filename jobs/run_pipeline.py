@@ -48,6 +48,19 @@ def parse_blocklist(path: str | None) -> dict[str, str] | None:
         return {row[0]: row[1] for row in csv.reader(f) if len(row) >= 2}
 
 
+def schema_json_path(output: str) -> str:
+    """Where metadata_schema.json lands for the Iceberg branch. A
+    path-like output gets the file beside it (matching the snapshot
+    branch, which writes under out_root); a catalog identifier like
+    `cat.db.run` has no directory, so the file is named after the
+    identifier in the CWD — unique per output, so concurrent jobs
+    with different outputs never clobber each other."""
+    if "/" in output:
+        os.makedirs(output, exist_ok=True)
+        return os.path.join(output, "metadata_schema.json")
+    return f"{output}.metadata_schema.json"
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--input", required=True, help="parquet path or iceberg table")
@@ -126,7 +139,19 @@ def main(argv: list[str] | None = None) -> int:
             except Exception:
                 return False
 
+        # per-table committed sets: resume keys on the INTERSECTION
+        # (a chunk is done only when all three tables have it), but
+        # each append must skip per-table — after a crash between the
+        # lineage/metrics/kept appends, the re-run of the torn chunk
+        # would otherwise append lineage (and possibly metrics) a
+        # second time, silently duplicating rows (ADVICE r2). Sets are
+        # read once and maintained in-process; this job is the
+        # single writer (same contract as SnapshotTable.append).
+        done_per_table = {tbl: committed(tbl) for tbl in tables.values()}
+
         def append(df, tbl: str, chunk_id: str) -> None:
+            if chunk_id in done_per_table[tbl]:
+                return  # idempotent-by-skip, mirroring SnapshotTable
             # Iceberg append() fails on a nonexistent table — the
             # first chunk creates each table (createOrReplace would
             # wipe a resumed run's data)
@@ -134,13 +159,12 @@ def main(argv: list[str] | None = None) -> int:
                 "snapshot-property.ungoliant.chunk", chunk_id
             )
             w.append() if exists(tbl) else w.create()
+            done_per_table[tbl].add(chunk_id)
 
-        # a chunk is done only when all three tables committed it;
-        # appends are idempotent-by-skip here, so a torn chunk reruns
         done = (
-            committed(tables["kept"])
-            & committed(tables["lineage"])
-            & committed(tables["metrics"])
+            done_per_table[tables["kept"]]
+            & done_per_table[tables["lineage"]]
+            & done_per_table[tables["metrics"]]
         )
         schema_written = False
         for chunk in range(args.chunks):
@@ -153,8 +177,12 @@ def main(argv: list[str] | None = None) -> int:
                 out = kept.drop("sentence_langs")
                 if not schema_written:
                     # the reference writes metadata_schema.json beside
-                    # the output post-run (src/main.rs:64-69)
-                    with open("metadata_schema.json", "w") as f:
+                    # the output post-run (src/main.rs:64-69); derive
+                    # the path from --output so a spark-submit from
+                    # another directory doesn't scatter it and two
+                    # concurrent jobs can't overwrite each other's
+                    # (catalog-identifier outputs get a per-run name)
+                    with open(schema_json_path(args.output), "w") as f:
                         f.write(out.schema.json())
                     schema_written = True
                 # kept last: resume intersects all three, and a torn

@@ -52,8 +52,67 @@ def test_load_model_compiles_binary_beside_arpa(tmp_path):
 def test_bad_binary_magic_rejected(tmp_path):
     p = tmp_path / "bad.binary"
     p.write_bytes(b"NOTMAGIC" + b"\x00" * 16)
-    with pytest.raises(ValueError, match="USARPA1"):
+    with pytest.raises(ValueError, match="USARPA2"):
         ArpaModel.load_binary(str(p))
+
+
+def test_binary_is_data_only_no_pickle(tmp_path):
+    """The .binary payload must be a data format (JSON), never pickle:
+    loading an attacker-supplied model file must not execute code."""
+    import json
+
+    from ungoliant_spark.arpa import BINARY_MAGIC
+
+    bin_path = str(tmp_path / "en.binary")
+    compile_binary(model_path("en"), bin_path)
+    raw = open(bin_path, "rb").read()
+    assert raw.startswith(BINARY_MAGIC)
+    json.loads(raw[len(BINARY_MAGIC):])  # parses as plain JSON
+
+
+def test_corrupt_binary_falls_back_to_arpa(tmp_path):
+    """A stale-format or torn .binary must not fail tasks persistently
+    (ADVICE r2): load_model recompiles from the .arpa beside it."""
+    import shutil
+
+    shutil.copy(model_path("en"), tmp_path / "en.arpa")
+    # old pickle-era artifact / torn write: wrong magic + garbage
+    (tmp_path / "en.binary").write_bytes(b"USARPA1\n\x80\x04garbage")
+    m = load_model("en", str(tmp_path))
+    assert m is not None
+    assert m.model == ArpaModel.load_arpa(model_path("en")).model
+    # and the bad artifact was replaced by a loadable one
+    assert ArpaModel.load_binary(str(tmp_path / "en.binary")).model == m.model
+
+
+def test_concurrent_compile_binary_is_safe(tmp_path):
+    """Many UDF workers compiling the same .binary concurrently must
+    each publish a complete artifact (unique mkstemp + atomic rename);
+    readers never see a torn file (ADVICE r2)."""
+    import threading
+
+    bin_path = str(tmp_path / "en.binary")
+    errs = []
+
+    def worker():
+        try:
+            compile_binary(model_path("en"), bin_path)
+            ArpaModel.load_binary(bin_path)
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert ArpaModel.load_binary(bin_path).model == ArpaModel.load_arpa(
+        model_path("en")
+    ).model
+    # no leaked temp files
+    leftovers = [p for p in os.listdir(tmp_path) if p.startswith(".arpa-bin-")]
+    assert leftovers == []
 
 
 def test_ut1_dir_parsing(tmp_path, spark):

@@ -108,6 +108,11 @@ def test_tag_replace_matches_reference_table():
     entries = dict(re.findall(r'\("([^"]+)",\s*"([^"]+)"\)', body))
     assert len(entries) >= 150, len(entries)
     assert TAG_REPLACE == entries
+    # deliberate absence, matching the reference: ("sh", "hbs") exists
+    # only COMMENTED OUT in tag_convert.rs:243 ("hbs doesn't seem to
+    # be valid bcp47" per its test comment at :239) — it is NOT in
+    # NEW_TAG_REPLACE, so `sh` must pass through unmapped here too
+    assert "sh" not in entries and "sh" not in TAG_REPLACE
 
 
 def test_to_bcp47_conversion():

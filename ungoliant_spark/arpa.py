@@ -111,13 +111,24 @@ class ArpaModel:
 
     @classmethod
     def load_binary(cls, path: str) -> "ArpaModel":
-        import pickle
+        """Load a pre-parsed .binary artifact. The payload is JSON —
+        a data-only format, deliberately NOT pickle: model dirs may be
+        shared/untrusted and KenLM's own binary format is plain data
+        (an attacker-supplied file must not execute code on load)."""
+        import json
 
         with open(path, "rb") as f:
             magic = f.read(len(BINARY_MAGIC))
             if magic != BINARY_MAGIC:
-                raise ValueError(f"{path}: not a USARPA1 binary model")
-            return cls(pickle.load(f))
+                raise ValueError(f"{path}: not a USARPA2 binary model")
+            payload = json.loads(f.read().decode("utf-8"))
+        model: dict[int, dict] = {}
+        for n_str, entries in payload.items():
+            n = int(n_str)
+            model[n] = {
+                tuple(ng.split(" ")): (lp, bow) for ng, lp, bow in entries
+            }
+        return cls(model)
 
     @classmethod
     def load_arpa(cls, path: str) -> "ArpaModel":
@@ -180,41 +191,69 @@ class ArpaModel:
         return 10.0 ** (-total / scored)
 
 
-BINARY_MAGIC = b"USARPA1\n"
+BINARY_MAGIC = b"USARPA2\n"  # v2: JSON payload (v1 was pickle — removed)
 
 
 def compile_binary(arpa_path: str, bin_path: str | None = None) -> str:
     """Pre-parse an .arpa file into a .binary artifact (our analog of
     KenLM's build_binary): loading skips text parsing entirely. The
     reference prefers `<lang>.binary` over `<lang>.arpa` when both
-    exist (src/transformers/kenlm/lru.rs:86-91)."""
-    import pickle
+    exist (src/transformers/kenlm/lru.rs:86-91).
+
+    Concurrency-safe: many Python UDF workers on one host can hit the
+    missing-.binary case simultaneously, so each stages to a UNIQUE
+    temp file (mkstemp) and publishes with an atomic os.replace —
+    interleaved writers each publish a complete artifact and the last
+    rename wins; no reader ever sees a torn file."""
+    import json
+    import tempfile
 
     bin_path = bin_path or arpa_path[: -len(".arpa")] + ".binary"
     model = ArpaModel.load_arpa(arpa_path).model
-    tmp = bin_path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(BINARY_MAGIC)
-        pickle.dump(model, f, protocol=pickle.HIGHEST_PROTOCOL)
-    os.replace(tmp, bin_path)
+    payload = {
+        str(n): [[" ".join(ng), lp, bow] for ng, (lp, bow) in sorted(entries.items())]
+        for n, entries in model.items()
+    }
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(bin_path) or ".", prefix=".arpa-bin-"
+    )
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(BINARY_MAGIC)
+            f.write(json.dumps(payload, separators=(",", ":")).encode("utf-8"))
+        os.replace(tmp, bin_path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
     return bin_path
+
+
+# everything a corrupt / stale-format / concurrently-written .binary
+# can raise — fall back to the .arpa text, never fail the task
+_BINARY_ERRORS = (OSError, ValueError, EOFError, KeyError, TypeError)
 
 
 def load_model(lang: str, arpa_dir: str | None = None) -> "ArpaModel | None":
     """Load the model for a language, preferring `<lang>.binary` over
     `<lang>.arpa` (lru.rs:86-91). When only the .arpa exists, a
     .binary is compiled beside it for subsequent loads (best-effort —
-    read-only model dirs just re-parse the text each time)."""
+    read-only model dirs just re-parse the text each time). A stale or
+    corrupt .binary (old format, torn write) is recompiled from the
+    .arpa instead of failing tasks persistently."""
     d = arpa_dir or ARPA_DIR
     bin_path = os.path.join(d, f"{lang}.binary")
     arpa_path = os.path.join(d, f"{lang}.arpa")
     if os.path.exists(bin_path):
-        return ArpaModel.load_binary(bin_path)
+        try:
+            return ArpaModel.load_binary(bin_path)
+        except _BINARY_ERRORS:
+            pass  # stale/corrupt artifact — recompile below if we can
     if not os.path.exists(arpa_path):
         return None
     try:
         return ArpaModel.load_binary(compile_binary(arpa_path, bin_path))
-    except OSError:
+    except _BINARY_ERRORS:
         return ArpaModel.load_arpa(arpa_path)
 
 

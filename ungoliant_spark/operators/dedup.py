@@ -238,7 +238,16 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Candidate pairs via LSH band collisions, verified with exact
-    Jaccard. The join key is the band hash — sub-quadratic at scale."""
+    Jaccard. The join key is the band hash — sub-quadratic at scale.
+
+    Exact-duplicate hardening (round-2 verdict item 5): identical
+    shingle sets imply identical signatures, so exact dups collide in
+    EVERY band and the band self-join is quadratic in dup-cluster
+    size. As in :func:`jaccard_pairs`, one representative per distinct
+    shingle set enters the banding; intra-group pairs are Jaccard 1.0
+    by definition and inter-group pairs inherit the representative
+    score (Jaccard depends only on the two sets). Output identical to
+    the naive form."""
     rows_per_band = N_PERMS // N_BANDS
     # explode once, then ONE hash-aggregate computes all 16 signature
     # minima AND the shingle set — whole-stage-codegen column exprs
@@ -256,11 +265,18 @@ def minhash_lsh_pairs(
         ).alias(f"s{i}")
         for i, (a_c, b_c) in enumerate(PERMS)
     ]
-    agg = ex.groupBy("id").agg(
-        F.collect_set("h").alias("shingles"), *sig_cols
+    per_doc = ex.groupBy("id").agg(
+        F.array_sort(F.collect_set("h")).alias("shingles"), *sig_cols
     )
-    bands = agg.select(
-        "id",
+    # the signature is a function of the shingle set, so min() over a
+    # same-set group just selects the shared value
+    groups = per_doc.groupBy("shingles").agg(
+        F.min("id").alias("rep"),
+        F.collect_list("id").alias("ids"),
+        *[F.min(f"s{i}").alias(f"s{i}") for i in range(N_PERMS)],
+    )
+    bands = groups.select(
+        F.col("rep").alias("id"),
         "shingles",
         F.explode(
             F.array(
@@ -291,22 +307,60 @@ def minhash_lsh_pairs(
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+            F.col("a.id").alias("rep_a"),
+            F.col("b.id").alias("rep_b"),
             F.col("a.shingles").alias("sh_a"),
             F.col("b.shingles").alias("sh_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        .dropDuplicates(["rep_a", "rep_b"])
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
+    isz = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - isz
+    rep_pairs = (
         cand.withColumn(
-            "jaccard", F.round(inter.cast("double") / union, 6)
+            "jaccard", F.round(isz.cast("double") / union, 6)
         )
         .filter(F.col("jaccard") >= F.lit(threshold))
-        .select("id_a", "id_b", "jaccard")
+        .select("rep_a", "rep_b", "jaccard")
     )
+    # inter-group expansion (groups disjoint → each pair exactly once)
+    ga = groups.select(F.col("rep").alias("rep_a"), F.col("ids").alias("ids_a"))
+    gb = groups.select(F.col("rep").alias("rep_b"), F.col("ids").alias("ids_b"))
+    inter = (
+        rep_pairs.join(ga, "rep_a").join(gb, "rep_b")
+        .select(F.explode("ids_a").alias("x"), "ids_b", "jaccard")
+        .select("x", F.explode("ids_b").alias("y"), "jaccard")
+        .select(
+            F.least("x", "y").alias("id_a"),
+            F.greatest("x", "y").alias("id_b"),
+            "jaccard",
+        )
+    )
+    # intra-group pairs: identical shingle sets → Jaccard exactly 1.0
+    intra_pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x: F.transform(
+                    F.col("ids"),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        ),
+        lambda p: p["id_a"] < p["id_b"],
+    )
+    intra = (
+        groups.filter(F.size("ids") > 1)
+        .select(F.explode(intra_pairs).alias("p"))
+        .select(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    if threshold > 1.0:
+        intra = intra.filter(F.lit(False))
+    return inter.unionByName(intra)
 
 
 def simhash63(text: Column) -> Column:
@@ -354,10 +408,31 @@ def simhash_pairs(
     chunks (16+16+16+15 bits); any pair within Hamming ≤ 3 differs in
     at most 3 chunks, so by pigeonhole it collides on ≥ 1 chunk —
     banding is *lossless* here, unlike probabilistic MinHash bands.
-    Join is on (band, chunk value): one shuffle, sub-quadratic."""
+    Join is on (band, chunk value): one shuffle, sub-quadratic.
+
+    Degenerate-bucket hardening (round-2 verdict item 5): documents
+    with IDENTICAL simhash words (all zero-token docs share simhash 0;
+    exact dups share everything) would collide pairwise in EVERY band,
+    making candidate generation quadratic in dup-cluster size. So the
+    band join runs over one representative per distinct simhash value,
+    and groups are expanded afterwards: intra-group pairs have Hamming
+    exactly 0, inter-group pairs inherit the representative distance
+    (Hamming is a function of the two hash words alone) — the output
+    is bit-identical to the naive form, which the DuckDB oracle keeps
+    as proof."""
+    if max_hamming > len(SIMHASH_BANDS) - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the lossless bound "
+            f"{len(SIMHASH_BANDS) - 1} of {len(SIMHASH_BANDS)}-band "
+            "pigeonhole candidate generation; results would silently "
+            "miss pairs. Add bands (SIMHASH_BANDS) to raise the bound."
+        )
     sh = simhash63_table(df, id_col, text_col)
-    banded = sh.select(
-        F.col(id_col).alias("id"),
+    groups = sh.groupBy("simhash").agg(
+        F.min(id_col).alias("rep"), F.collect_list(id_col).alias("ids")
+    )
+    banded = groups.select(
+        F.col("rep").alias("id"),
         "simhash",
         F.explode(
             F.array(
@@ -387,19 +462,56 @@ def simhash_pairs(
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+            F.col("a.id").alias("rep_a"),
+            F.col("b.id").alias("rep_b"),
             F.col("a.simhash").alias("sh_a"),
             F.col("b.simhash").alias("sh_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        .dropDuplicates(["rep_a", "rep_b"])
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
+    rep_pairs = (
         cand.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select("rep_a", "rep_b", "hamming")
     )
+    # inter-group expansion: groups are disjoint, so each unordered doc
+    # pair occurs in exactly one (rep_a, rep_b) product — no dedup
+    ga = groups.select(F.col("rep").alias("rep_a"), F.col("ids").alias("ids_a"))
+    gb = groups.select(F.col("rep").alias("rep_b"), F.col("ids").alias("ids_b"))
+    inter = (
+        rep_pairs.join(ga, "rep_a").join(gb, "rep_b")
+        .select(F.explode("ids_a").alias("x"), "ids_b", "hamming")
+        .select("x", F.explode("ids_b").alias("y"), "hamming")
+        .select(
+            F.least("x", "y").alias("id_a"),
+            F.greatest("x", "y").alias("id_b"),
+            "hamming",
+        )
+    )
+    # intra-group pairs: identical simhash → Hamming exactly 0
+    intra_pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x: F.transform(
+                    F.col("ids"),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        ),
+        lambda p: p["id_a"] < p["id_b"],
+    )
+    intra = (
+        groups.filter(F.size("ids") > 1)
+        .select(F.explode(intra_pairs).alias("p"))
+        .select(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return inter.unionByName(intra)
 
 
 def simhash63_table(

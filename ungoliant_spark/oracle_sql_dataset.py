@@ -315,18 +315,22 @@ def _stop_hits(lang: str) -> str:
 
 
 def oracle_knn_ann_ivf(
-    n_query: int = 20, k: int = 5, stride: int = 97, nprobe: int = 4
+    n_query: int = 20, k: int = 5, n_cells: int = 32, nprobe: int = 4
 ) -> str:
-    """SQL twin of similarity.ann_ivf_topk: modulo-seeded centroids,
-    per-vector centroid ranking by rounded cosine (ties → lowest
-    centroid id), corpus keeps its cell, queries probe nprobe cells."""
+    """SQL twin of similarity.ann_ivf_topk: fixed-budget centroids
+    (the n_cells smallest Knuth-scrambled ids — same arithmetic as
+    similarity.IVF_SCRAMBLE), per-vector centroid ranking by rounded
+    cosine (ties → lowest centroid id), corpus keeps its cell,
+    queries probe nprobe cells."""
     csim = _COS.format(a="v.e", b="c.e")
     sim = _COS.format(a="vq.e", b="vc.e")
     return f"""
 WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
 ), cents AS (
-  SELECT vec_id AS cid, e FROM v WHERE vec_id % {stride} = 0
+  SELECT vec_id AS cid, e FROM v
+  ORDER BY (CAST(vec_id AS BIGINT) * 2654435761) % 4294967296, vec_id
+  LIMIT {n_cells}
 ), ranked_cells AS (
   SELECT v.vec_id AS id, c.cid,
     row_number() OVER (

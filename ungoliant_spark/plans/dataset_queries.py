@@ -102,8 +102,14 @@ def q_zipf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = words.groupBy("word").agg(F.count("*").alias("n"))
     total = counts.agg(F.sum("n").alias("total"))
+    # only the top-100 survive, so take them FIRST with orderBy+limit
+    # (TakeOrderedAndProject: per-partition heaps, parallel) and rank
+    # the 100 survivors; ranking the full distinct-word table through
+    # an unpartitioned window would sort billions of rows in ONE task
+    # at corpus scale (round-2 verdict item 3)
+    top = counts.orderBy(F.desc("n"), F.asc("word")).limit(100)
     w = Window.orderBy(F.desc("n"), F.asc("word"))
-    ranked = counts.withColumn("rank", F.row_number().over(w))
+    ranked = top.withColumn("rank", F.row_number().over(w))
     return (
         ranked.crossJoin(F.broadcast(total))
         .withColumn("prob", F.round(F.col("n") / F.col("total"), 6))
