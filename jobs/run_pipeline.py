@@ -107,11 +107,20 @@ def main(argv: list[str] | None = None) -> int:
         print(f"committed {len(committed)} new chunks -> {args.output}")
     else:
         from ungoliant_spark.plans.checkpoint import (
-            chunk_filter,
             lineage_of,
             metrics_of,
+            plan_chunks,
         )
         from ungoliant_spark.plans.pipeline import run as pipeline_run
+
+        # file-range chunks when the input is a plain parquet scan
+        # (chunk k reads only its file subset — one scan of the input
+        # total); hash-chunk fallback otherwise. An Iceberg-catalog
+        # input falls back today: the production analog is planning
+        # chunks from the snapshot manifest list, which needs the
+        # Iceberg runtime this sandbox lacks (see checkpoint.py).
+        chunk_df, chunk_strategy, _ = plan_chunks(clips, args.chunks)
+        print(f"chunk strategy: {chunk_strategy}")
 
         tables = {
             "kept": f"{args.output}_kept",
@@ -171,7 +180,7 @@ def main(argv: list[str] | None = None) -> int:
             chunk_id = f"chunk-{chunk:05d}"
             if chunk_id in done:
                 continue
-            part = chunk_filter(clips, chunk, args.chunks)
+            part = chunk_df(chunk)
             kept = pipeline_run(part, terms, args.partitions).cache()
             try:
                 out = kept.drop("sentence_langs")

@@ -138,3 +138,91 @@ def test_metrics_table(spark, clips):
         "chunk_id", "lang_bucket", "n_docs", "sum_dur_ms",
         "sum_audio_bytes", "avg_harmful_pp",
     }
+
+
+def test_file_range_chunking_scans_only_its_files(spark, clips, tmp_path):
+    """Round-2 verdict item 1: chunk k's scan must read ONLY its
+    assigned file subset (one scan of the input for the whole run),
+    not re-scan the full input per chunk."""
+    import os
+
+    from ungoliant_spark.plans.checkpoint import plan_chunks
+
+    src = str(tmp_path / "multi")
+    clips.repartition(8).write.parquet(src)
+    multi = spark.read.parquet(src)
+    n_chunks = 4
+    chunk_df, strategy, files = plan_chunks(multi, n_chunks)
+    assert strategy == "files"
+    assert len(files) >= 8
+    seen: set[str] = set()
+    for k in range(n_chunks):
+        got = {os.path.normpath(p.replace("file:", ""))
+               for p in chunk_df(k).inputFiles()}
+        expect = {os.path.normpath(p.replace("file:", ""))
+                  for p in files[k::n_chunks]}
+        assert got == expect, (k, got, expect)
+        assert not (got & seen)  # disjoint
+        seen |= got
+    # union covers every input file exactly once
+    all_files = {os.path.normpath(p.replace("file:", ""))
+                 for p in files}
+    assert seen == all_files
+    # and the union of chunk rows is exactly the input
+    total = sum(chunk_df(k).count() for k in range(n_chunks))
+    assert total == multi.count()
+
+
+def test_hash_fallback_for_unsplittable_input(spark, clips):
+    """Fewer files than chunks (or a transformed DataFrame) must fall
+    back to the hash predicate, never silently drop rows."""
+    from ungoliant_spark.plans.checkpoint import plan_chunks
+
+    # single-file fixture, 4 chunks → unsplittable
+    chunk_df, strategy, files = plan_chunks(clips, 4)
+    assert strategy == "hash" and files is None
+    # a transformed DataFrame (non-leaf plan) likewise
+    chunk_df2, strategy2, _ = plan_chunks(clips.filter("dur_ms > 0"), 2)
+    assert strategy2 == "hash"
+    total = sum(chunk_df(k).count() for k in range(4))
+    assert total == clips.count()
+
+
+def test_chunk_plan_pinned_across_resume(spark, clips, tmp_path):
+    """The chunk→file assignment is pinned at first run; a resume uses
+    the pinned plan even if the input listing changed, and chunked
+    output equals the direct unchunked run."""
+    import shutil as sh
+
+    from ungoliant_spark.plans.checkpoint import CheckpointedRun
+    from ungoliant_spark.plans.pipeline import decide, kept_output
+
+    src = str(tmp_path / "multi2")
+    clips.repartition(8).write.parquet(src)
+    multi = spark.read.parquet(src)
+    out = str(tmp_path / "out")
+    run = CheckpointedRun(out)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run.run(multi, n_chunks=4, fail_after=2)
+    import json
+    import os
+
+    plan = json.load(open(os.path.join(out, "chunks.json")))
+    assert plan["strategy"] == "files" and plan["n_chunks"] == 4
+
+    # input directory grows mid-run — the pinned assignment must win
+    extra = clips.limit(0)
+    extra.write.mode("append").parquet(src)
+
+    run2 = CheckpointedRun(out)
+    # wrong n_chunks on resume is an error, not silent misalignment
+    with pytest.raises(ValueError, match="n_chunks"):
+        run2.run(spark.read.parquet(src), n_chunks=8)
+    newly = run2.run(spark.read.parquet(src), n_chunks=4)
+    assert len(newly) == 2
+
+    final = run2.kept.read(spark).select("clip_id")
+    direct = kept_output(decide(multi)).select("clip_id")
+    assert direct.subtract(final).count() == 0
+    assert final.subtract(direct).count() == 0
+    sh.rmtree(out, ignore_errors=True)

@@ -3,10 +3,21 @@ with snapshot checkpointing.
 
 Replaces the reference's file-level idempotence (one output file per
 shard; rerun skips existing files) with table-level snapshot commits
-(SURVEY.md §4): the input is split into deterministic hash-range
-chunks, each chunk is processed by one Spark job and committed as one
-atomic snapshot append to three tables (kept / lineage / metrics);
-resuming diffs the desired chunk set against the snapshot summary.
+(SURVEY.md §4): the input is split into deterministic chunks, each
+chunk is processed by one Spark job and committed as one atomic
+snapshot append to three tables (kept / lineage / metrics); resuming
+diffs the desired chunk set against the snapshot summary.
+
+Chunking strategy (round-2 verdict item 1): chunks are FILE RANGES of
+the input whenever the input is a plain file scan — chunk k re-reads
+only its assigned file subset, so a 64-chunk run over 100 TB scans
+each byte ONCE (the reference's shard = file = unit of parallelism,
+/root/reference/src/sources/commoncrawl/shard.rs:21-48). The previous
+``pmod(xxhash64(clip_id), n) == k`` predicate can never be pushed to
+the parquet/Iceberg scan, so every chunk re-read the FULL input —
+6.4 PB of scan for a 64-chunk run. Hash chunking remains only as the
+fallback for unsplittable inputs (fewer files than chunks, or a
+DataFrame with transformations the re-read could not reproduce).
 
 Lineage rows are the ShardResult equivalent (/root/reference/src/
 pipelines/oscardoc/types/rebuild.rs:104-213): one row per kept doc
@@ -17,6 +28,10 @@ loc_in_shard within partitions (rebuild.rs:194-198).
 
 from __future__ import annotations
 
+import json
+import os
+from typing import Callable
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -25,10 +40,77 @@ from ungoliant_spark.sources.tables import SnapshotTable
 
 
 def chunk_filter(df: DataFrame, chunk: int, n_chunks: int) -> DataFrame:
-    """Deterministic hash-range chunking on the primary key."""
+    """Deterministic hash-range chunking on the primary key — the
+    UNSPLITTABLE-INPUT FALLBACK only: the predicate is not pushable,
+    so every chunk scans the full input. Prefer file-range chunks
+    (:func:`plan_chunks`) whenever the input is file-backed."""
     return df.filter(
         F.pmod(F.xxhash64(F.col("clip_id")), F.lit(n_chunks)) == F.lit(chunk)
     )
+
+
+def scan_files(df: DataFrame) -> list[str] | None:
+    """The input files of ``df`` IF it is a bare file scan whose
+    re-read is provably equivalent — i.e. the analyzed plan is a leaf
+    (no filters/projections that a per-file re-read would drop) and a
+    single file carries the full schema (partition-directory columns
+    would vanish on a direct file read, so those fall back). Returns
+    None when file-range chunking would not be faithful.
+
+    Deliberately restricted to v1 file relations: a DSv2 relation
+    (e.g. a real Iceberg table) also reports inputFiles, but re-reading
+    its raw parquet bypasses position/equality delete files and schema
+    evolution. The production-Iceberg analog of this optimization is
+    planning chunks from the snapshot's manifest list (metadata-only,
+    same one-scan-total property) — not expressible in this sandbox
+    without an Iceberg runtime."""
+    try:
+        analyzed = df._jdf.queryExecution().analyzed()
+        if analyzed.children().size() != 0:
+            return None
+        if "LogicalRelation" not in analyzed.getClass().getSimpleName():
+            return None  # DSv2 (Iceberg etc.): raw re-read unsafe
+        files = sorted(df.inputFiles())
+        if not files:
+            return None
+        one = df.sparkSession.read.parquet(files[0])
+        if [f.name for f in one.schema] != [f.name for f in df.schema]:
+            return None  # partition-dir columns / schema drift
+        return files
+    except Exception:
+        return None
+
+
+def plan_chunks(
+    clips: DataFrame, n_chunks: int, files: list[str] | None = None
+) -> tuple[Callable[[int], DataFrame], str, list[str] | None]:
+    """Returns (chunk_df, strategy, files): ``chunk_df(k)`` yields the
+    k-th chunk's DataFrame.
+
+    * ``files`` strategy — round-robin over the sorted input file list
+      (``files[k::n_chunks]``: balanced when name order correlates
+      with size/time). Chunk k's scan reads ONLY its files; the whole
+      run reads each input byte once. Requires an immutable input
+      (crawl shards are), and the file list is persisted by the caller
+      so resume uses the original assignment even if listing changes.
+    * ``hash`` strategy — the fallback ``chunk_filter`` predicate for
+      unsplittable inputs (full rescan per chunk)."""
+    if files is None:
+        files = scan_files(clips)
+    if files is None or len(files) < n_chunks:
+        return (
+            lambda k: chunk_filter(clips, k, n_chunks),
+            "hash",
+            None,
+        )
+    spark = clips.sparkSession
+    schema = clips.schema
+
+    def chunk_df(k: int) -> DataFrame:
+        subset = files[k::n_chunks]
+        return spark.read.schema(schema).parquet(*subset)
+
+    return chunk_df, "files", files
 
 
 def lineage_of(kept: DataFrame, chunk_id: str) -> DataFrame:
@@ -81,11 +163,49 @@ class CheckpointedRun:
     def _write_schema_json(self, kept: DataFrame) -> None:
         """metadata_schema.json beside the sinks — the reference
         writes it post-run (/root/reference/src/main.rs:64-69)."""
-        import os
-
         path = os.path.join(self.kept.root, "..", "metadata_schema.json")
         with open(os.path.abspath(path), "w", encoding="utf-8") as f:
             f.write(kept.schema.json())
+
+    def _chunk_plan_path(self) -> str:
+        return os.path.join(self.out_root, "chunks.json")
+
+    def _load_or_pin_chunk_plan(
+        self, clips: DataFrame, n_chunks: int
+    ) -> tuple[Callable[[int], DataFrame], str]:
+        """Resolve the chunk→input assignment, pinning it to disk on
+        first run so every resume processes IDENTICAL chunks even if
+        the input directory listing changes mid-run (the assignment,
+        not the live listing, is the source of truth — the same
+        contract as the reference's shard files)."""
+        path = self._chunk_plan_path()
+        if os.path.exists(path):
+            with open(path, encoding="utf-8") as f:
+                pinned = json.load(f)
+            if pinned["n_chunks"] != n_chunks:
+                raise ValueError(
+                    f"resume with n_chunks={n_chunks} but this run was "
+                    f"started with n_chunks={pinned['n_chunks']} "
+                    f"({path}); chunk ids would not line up"
+                )
+            chunk_df, strategy, _ = plan_chunks(
+                clips, n_chunks, files=pinned.get("files")
+            )
+            if strategy != pinned["strategy"]:
+                raise ValueError(
+                    f"resume resolved chunk strategy {strategy!r} but "
+                    f"this run was started with {pinned['strategy']!r}"
+                )
+            return chunk_df, strategy
+        chunk_df, strategy, files = plan_chunks(clips, n_chunks)
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(
+                {"n_chunks": n_chunks, "strategy": strategy, "files": files},
+                f,
+            )
+        os.replace(tmp, path)
+        return chunk_df, strategy
 
     def run(
         self,
@@ -98,6 +218,7 @@ class CheckpointedRun:
         """Process all not-yet-committed chunks; returns chunk ids
         committed by THIS invocation. Safe to re-run after any crash."""
         done = self.committed_chunks()
+        chunk_df, _ = self._load_or_pin_chunk_plan(clips, n_chunks)
         committed: set[str] = set()
         schema_written = False
         for chunk in range(n_chunks):
@@ -106,7 +227,7 @@ class CheckpointedRun:
                 continue
             if fail_after is not None and len(committed) >= fail_after:
                 raise RuntimeError("simulated crash between snapshots")
-            part = chunk_filter(clips, chunk, n_chunks)
+            part = chunk_df(chunk)
             kept = pipeline_run(
                 part, term_to_category, n_partitions
             ).cache()
