@@ -128,3 +128,69 @@ def test_to_bcp47_conversion():
     assert to_bcp47("__label__prs") == "fa-AF"
     assert to_bcp47("__label__abk") == "ab"
     assert to_bcp47("__label__zul") == "zu"
+
+
+def _cycle(pattern, n):
+    out = []
+    i = 0
+    while len(out) < n:
+        out.append(pattern[i % len(pattern)])
+        i += 1
+    return out
+
+
+def test_multilingual_lenient_reference_cases():
+    """Ports multilingual.rs:316-336 (test_multilingual/2)."""
+    from ungoliant_spark.operators.lid import multilingual_lenient
+
+    assert multilingual_lenient([("en", 1.0)] * 10) is False
+    ids = _cycle([("en", 1.0), ("en", 1.0), ("fr", 1.0), ("fr", 1.0)], 20)
+    assert multilingual_lenient(ids) is True
+    # 60 en lines need > 60/4 = 15 in the runner-up (rs docstring
+    # example; note <= is rejecting, rs:271)
+    assert multilingual_lenient([("en", 1.0)] * 60 + [("fr", 1.0)] * 15) is False
+    assert multilingual_lenient([("en", 1.0)] * 60 + [("fr", 1.0)] * 16) is True
+    # only the top `limit`=2 languages are examined (rs:252-256): a
+    # too-small THIRD language cannot reject
+    assert multilingual_lenient([("en", 1.0)] * 60 + [("de", 1.0)] * 25
+                                + [("fr", 1.0)] * 1) is True
+    # None may not hold the top rank (rs:244-248)
+    assert multilingual_lenient([None] * 8 + [("en", 1.0)] * 6
+                                + [("fr", 1.0)] * 6) is False
+
+
+def test_strict_multilingual_bytes_reference_cases():
+    """Ports multilingual.rs:338-515 (the byte-overload test suite)."""
+    from ungoliant_spark.operators.lid import strict_multilingual_bytes
+
+    en, fr = ("en", 1.0), ("fr", 1.0)
+    # strict_bytes_false
+    ids = _cycle([(en, 100), (en, 100), (fr, 1), (fr, 10), (fr, 10),
+                  (fr, 10)], 20)
+    assert strict_multilingual_bytes(ids) is False
+    # strict_bytes_true
+    ids = _cycle([(en, 100), (en, 110), (en, 111), (fr, 100), (fr, 130),
+                  (fr, 10)], 20)
+    assert strict_multilingual_bytes(ids) is True
+    # strict_bytes_with_junk (take 200)
+    ids = _cycle([(en, 100), (en, 110), (en, 111), (en, 45), (None, 100),
+                  (None, 150), (fr, 100), (fr, 130), (fr, 130), (fr, 130),
+                  (fr, 10)], 200)
+    assert strict_multilingual_bytes(ids) is True
+    # strict_bytes_no_junk (take 200)
+    ids = _cycle([(en, 100), (en, 110), (en, 111), (en, 45), (fr, 100),
+                  (fr, 130), (fr, 130), (fr, 130), (fr, 10)], 200)
+    assert strict_multilingual_bytes(ids) is True
+    # test_too_short / test_too_little_languages
+    assert strict_multilingual_bytes(_cycle([(en, 100)], 2)) is False
+    # test_not_confident_enough
+    assert strict_multilingual_bytes(
+        _cycle([(("en", 0.1), 100)], 2)) is False
+    # test_too_much_none (take 2 of the 4-cycle)
+    assert strict_multilingual_bytes(
+        _cycle([(("en", 0.1), 100), (None, 100), (None, 100),
+                (None, 100)], 2)) is False
+    # test_too_much_languages (7 langs, take 10)
+    seven = [(( lg, 0.1), 100) for lg in
+             ("en", "fr", "uk", "fi", "uz", "pa", "zh")]
+    assert strict_multilingual_bytes(_cycle(seven, 10)) is False

@@ -171,6 +171,96 @@ def strict_multilingual(line_ids: list[tuple[str, float] | None]) -> bool:
     return True
 
 
+def strict_multilingual_bytes(
+    items: list[tuple[tuple[str, float] | None, int]],
+    min_sentences: int = MULTI_MIN_SENTENCES,
+    threshold_confidence: float = MULTI_CONFIDENCE,
+    max_langs: int | None = MULTI_MAX_LANGS,
+    min_confident_pctg: float = MULTI_MIN_CONFIDENT_PCTG,
+) -> bool:
+    """Byte-weighted StrictMultilingual overload (multilingual.rs:
+    42-106): each item is (identification|None, nb_bytes); every
+    present language must hold at least total_bytes/(n_bins) bytes and
+    the unidentified bytes at most that. Unwired in the reference
+    pipeline (only the line-based overload is called) — implemented
+    for completeness, same policy as MeanLength/Conv.
+
+    Fidelity notes: the Rust byte overload PRE-INSERTS the None bin
+    (multilingual.rs:68 ``bytes_per_lang.insert(None, 0)``), so the
+    bin count — and therefore the threshold divisor — always includes
+    "unidentified" even when every line identified; the threshold
+    divides in f32 and floors (rs:87-88)."""
+    nb_bytes = sum(b for _, b in items)
+    nb_lines = len(items)
+    if nb_lines < min_sentences:
+        return False
+    nb_confident = sum(
+        1 for i, _ in items if i is not None and i[1] >= threshold_confidence
+    )
+    if nb_confident / nb_lines <= min_confident_pctg:
+        return False
+    bytes_per_lang: dict[str | None, int] = {None: 0}
+    for ident, b in items:
+        key = None if ident is None else ident[0]
+        bytes_per_lang[key] = bytes_per_lang.get(key, 0) + b
+    nb_langs = sum(1 for k in bytes_per_lang if k is not None)
+    if nb_langs < 2 or (max_langs is not None and nb_langs > max_langs):
+        return False
+    count_threshold = math.floor(
+        np.float32(nb_bytes) / np.float32(len(bytes_per_lang))
+    )
+    for lang, count in bytes_per_lang.items():
+        if lang is not None:
+            if count < count_threshold:
+                return False
+        elif count > count_threshold:
+            return False
+    return True
+
+
+def multilingual_lenient(
+    line_ids: list[tuple[str, float] | None],
+    min_sentences: int = 10,
+    limit: int = 2,
+    q: float = 4.0,
+) -> bool:
+    """Lenient Multilingual (multilingual.rs:208-295): rank language
+    line counts descending and require C_(n+1) > C_n / q over the
+    first ``limit`` languages. Unwired in the reference pipeline —
+    implemented for completeness.
+
+    Fidelity note: the Rust code ranks with ``sorted_unstable_by`` on
+    count only, so the relative order of TIED counts (including a tie
+    between the top language and the None bin, rs:244-248) is
+    unspecified — it inherits HashMap iteration order. This port
+    freezes a deterministic spec: ties rank identified-before-None,
+    then label ascending, which makes the is-first-None rejection the
+    most permissive reading consistent with the Rust code."""
+    if len(line_ids) < min_sentences:
+        return False
+    counts: dict[str | None, int] = {}
+    for i in line_ids:
+        key = None if i is None else i[0]
+        counts[key] = counts.get(key, 0) + 1
+    nb_langs = sum(1 for k in counts if k is not None)
+    if nb_langs < 2:
+        return False
+    ordered = sorted(
+        counts.items(),
+        key=lambda kv: (-kv[1], kv[0] is None, kv[0] or ""),
+    )
+    if ordered[0][0] is None:
+        return False
+    langs = [(k, c) for k, c in ordered if k is not None][:limit]
+    first_count = langs[0][1]
+    threshold = np.float32(first_count) / np.float32(q)
+    for _, count in langs[1:]:
+        if np.float32(count) <= threshold:
+            return False
+        threshold = np.float32(count) / np.float32(q)
+    return True
+
+
 def _doc_from_preds(
     stripped_lines: list[str],
     preds: list[tuple[str, float] | None],
