@@ -436,6 +436,19 @@ FROM events GROUP BY 1, 2
 """
 
 
+def oracle_events_sessions_streaming(gap_minutes: int = 30) -> str:
+    """Oracle for the STREAMING sessionizer row: identical gap
+    sessionization, projected without session_idx (the stateful
+    operator emits sessions, not per-user ordinals). Each
+    (user_id, session_idx) group stays one output row, so dropping
+    the ordinal loses no rows."""
+    inner = oracle_events_sessions(gap_minutes)
+    return (
+        "SELECT user_id, session_start, session_end, n_events, "
+        f"sum_value FROM ({inner})"
+    )
+
+
 def oracle_events_sessions(gap_minutes: int = 30) -> str:
     """Gap sessionization via lag + cumulative flag sum — independent
     recomputation of dataset_queries.q_events_sessions."""

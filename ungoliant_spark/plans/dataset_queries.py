@@ -135,6 +135,83 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessions_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState sessionizer executed through REAL
+    Structured Streaming (round-2 verdict stretch item 8: the batch
+    twin ``events_sessions`` was hash-green but the streaming path was
+    pytest-only). The events fixture is replayed through
+    ``sessionize_events`` into a parquet sink and read back; trailing
+    open sessions — which a NoTimeout stateful operator never emits —
+    are force-closed by appending one sentinel flush event per user
+    2 days after the last real event, then the sentinel's own
+    singleton sessions are filtered out. Result equals the batch
+    window-function sessionization minus session_idx, verified by the
+    same independent DuckDB oracle."""
+    import hashlib
+    import os
+    import shutil
+
+    from ungoliant_spark.streaming.quality_stream import sessionize_events
+
+    ev_path = f"{sf_dir}/events.parquet"
+    tag = hashlib.md5(ev_path.encode()).hexdigest()[:12]
+    root = os.path.abspath(
+        os.path.join(
+            os.path.dirname(__file__), "..", "..", ".cache",
+            "stream_sessions", tag,
+        )
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src_dir = os.path.join(root, "src")
+    sink_dir = os.path.join(root, "sink")
+    ckpt_dir = os.path.join(root, "ckpt")
+    os.makedirs(src_dir)
+    shutil.copy(ev_path, os.path.join(src_dir, "events.parquet"))
+
+    ev = spark.read.parquet(ev_path)
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    flush_ts = F.lit(max_ts) + F.expr("INTERVAL 2 DAYS")
+    (
+        ev.select("user_id").distinct()
+        .select(
+            F.lit(-1).cast("long").alias("event_id"),
+            flush_ts.alias("ts"),
+            "user_id",
+            F.lit("flush").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("").alias("props"),
+        )
+        .coalesce(1)
+        .write.mode("append").parquet(src_dir)
+    )
+
+    # one micro-batch for all files: per-user rows are sorted by ts
+    # inside the stateful group, so arrival order cannot reorder state
+    sess = sessionize_events(spark, src_dir, max_files_per_trigger=1 << 20)
+    q = (
+        sess.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(sink_dir)
+    # the sentinel itself opens a per-user singleton session ≥2 days
+    # after the data; anything starting after max_ts is sentinel-born
+    return (
+        out.filter(F.col("session_start") <= F.lit(max_ts))
+        .select(
+            "user_id",
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            F.round("sum_value", 6).alias("sum_value"),
+        )
+    )
+
+
 def q_events_running_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running mean over the last 4 events (cross-row window
     function — an operator class the reference lacks, §2.9)."""
