@@ -60,3 +60,22 @@ def test_cli_snapshot_run_and_resume(tmp_path):
     out2 = _run_cli(["--input", clips, "--output", OUT, "--chunks", "4"])
     assert "committed 0 new chunks" in out2
     shutil.rmtree(OUT, ignore_errors=True)
+
+
+def test_schema_json_path_derivation(tmp_path):
+    """ADVICE r2: the Iceberg branch wrote metadata_schema.json to the
+    process CWD — it must derive from --output so spark-submit from
+    another directory doesn't scatter it and concurrent jobs with
+    different outputs can't clobber each other."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    rp = importlib.import_module("run_pipeline")
+    # path-like output → beside the output root (snapshot-branch parity)
+    p = rp.schema_json_path(str(tmp_path / "outdir"))
+    assert p == str(tmp_path / "outdir" / "metadata_schema.json")
+    assert os.path.isdir(tmp_path / "outdir")
+    # catalog identifier → per-output filename, no directory
+    assert rp.schema_json_path("cat.db.run1") == "cat.db.run1.metadata_schema.json"
+    assert rp.schema_json_path("cat.db.run2") != rp.schema_json_path("cat.db.run1")
