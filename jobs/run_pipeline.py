@@ -70,6 +70,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--blocklist", default=None,
                    help="term,category csv OR a UT1-format directory")
     p.add_argument("--format", choices=["snapshot", "iceberg"], default="snapshot")
+    p.add_argument("--jsonl-out", default=None,
+                   help="also package kept rows as per-lang gzip JSONL "
+                        "(the reference's LangFilesDoc output format)")
     args = p.parse_args(argv)
 
     # Under spark-submit the JVM already exists (PYSPARK_GATEWAY_PORT
@@ -202,6 +205,20 @@ def main(argv: list[str] | None = None) -> int:
             finally:
                 kept.unpersist()
             print(f"committed {chunk_id}")
+    if args.jsonl_out:
+        # packaging step (reference: packing kept docs into per-lang
+        # gzip JSONL files): read the committed kept table and fan out
+        # by language in ONE parallel write
+        from ungoliant_spark.sources.jsonl import write_jsonl_by_lang
+
+        if args.format == "snapshot":
+            from ungoliant_spark.plans.checkpoint import CheckpointedRun
+
+            kept_df = CheckpointedRun(args.output).kept.read(spark)
+        else:
+            kept_df = spark.read.table(f"{args.output}_kept")
+        write_jsonl_by_lang(kept_df, args.jsonl_out)
+        print(f"packaged jsonl -> {args.jsonl_out}")
     spark.stop()
     return 0
 

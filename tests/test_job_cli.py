@@ -79,3 +79,44 @@ def test_schema_json_path_derivation(tmp_path):
     # catalog identifier → per-output filename, no directory
     assert rp.schema_json_path("cat.db.run1") == "cat.db.run1.metadata_schema.json"
     assert rp.schema_json_path("cat.db.run2") != rp.schema_json_path("cat.db.run1")
+
+
+def test_jsonl_by_lang_sink(spark, tmp_path):
+    """OSCAR-document JSONL packaging: per-lang gzip files, valid JSON
+    lines in the 22.01 metadata shape, content == kept transcript."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from ungoliant_spark.plans.pipeline import decide, kept_output
+    from ungoliant_spark.sources.fixtures import generate
+    from ungoliant_spark.sources.jsonl import write_jsonl_by_lang
+
+    clips = spark.read.parquet(f"{generate(0.001)}/clips.parquet")
+    kept = kept_output(decide(clips))
+    out = str(tmp_path / "jsonl")
+    write_jsonl_by_lang(kept, out)
+
+    # layout: one dir per lang bucket, gzip'd part files
+    langs = {os.path.basename(p).split("=", 1)[1]
+             for p in glob.glob(f"{out}/lang_bucket=*")}
+    kept_langs = {r["lang_bucket"] for r in
+                  kept.select("lang_bucket").distinct().collect()}
+    assert langs == kept_langs
+    assert glob.glob(f"{out}/lang_bucket=*/*.txt.gz")
+
+    # round-trip: every kept row appears with identical content/meta
+    back = spark.read.json(f"{out}/lang_bucket=*/")
+    assert back.count() == kept.count()
+    got = {
+        r["metadata"]["clip"]["clip_id"]: r
+        for r in back.collect()
+    }
+    for r in kept.collect():
+        b = got[r["clip_id"]]
+        assert b["content"] == r["transcript"]
+        assert b["metadata"]["identification"]["label"] == r["lang"]
+        assert b["metadata"]["tlsh"] == r["tlsh"]
+        assert list(b["metadata"]["quality_warnings"] or []) == list(
+            r["quality_warnings"] or []
+        )
