@@ -226,3 +226,22 @@ def test_chunk_plan_pinned_across_resume(spark, clips, tmp_path):
     assert direct.subtract(final).count() == 0
     assert final.subtract(direct).count() == 0
     sh.rmtree(out, ignore_errors=True)
+
+
+def test_resume_rejects_transformed_input_under_file_plan(spark, clips, tmp_path):
+    """A pinned file-range plan re-reads raw files, which would
+    silently ignore a filter on a transformed resume input — such a
+    resume must be rejected, not produce wrong data."""
+    from ungoliant_spark.plans.checkpoint import CheckpointedRun
+
+    src = str(tmp_path / "multi3")
+    clips.repartition(8).write.parquet(src)
+    multi = spark.read.parquet(src)
+    out = str(tmp_path / "out3")
+    run = CheckpointedRun(out)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run.run(multi, n_chunks=4, fail_after=1)
+    with pytest.raises(ValueError, match="bare file scan"):
+        CheckpointedRun(out).run(
+            spark.read.parquet(src).filter("dur_ms > 0"), n_chunks=4
+        )

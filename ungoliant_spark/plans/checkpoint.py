@@ -188,6 +188,15 @@ class CheckpointedRun:
                     f"started with n_chunks={pinned['n_chunks']} "
                     f"({path}); chunk ids would not line up"
                 )
+            if pinned["strategy"] == "files" and scan_files(clips) is None:
+                # pinned chunks re-read raw files, which would silently
+                # IGNORE any filter/projection on a transformed resume
+                # input — reject rather than produce wrong data
+                raise ValueError(
+                    "resume input is not a bare file scan but this run "
+                    "was chunked by file ranges; pass the same input "
+                    "table the original run used"
+                )
             chunk_df, strategy, _ = plan_chunks(
                 clips, n_chunks, files=pinned.get("files")
             )
