@@ -139,12 +139,19 @@ def jaccard_pairs(
         F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
     ).cast("int")
     pref = with_len.select(
-        "id", F.explode(F.slice("sh", 1, prefix_len)).alias("shingle")
+        "id", "sz", F.explode(F.slice("sh", 1, prefix_len)).alias("shingle")
     )
     a, b = pref.alias("a"), pref.alias("b")
+    # lossless size bound (AllPairs): J(A,B) ≥ t ⟹ |A∩B| ≥ t·max(|A|,
+    # |B|) and |A∩B| ≤ min(|A|,|B|) ⟹ min ≥ ceil(t·max) — prunes
+    # candidates before the (more expensive) full-set verification
+    size_ok = (
+        (F.col("b.sz") >= F.ceil(F.lit(threshold) * F.col("a.sz")))
+        & (F.col("a.sz") >= F.ceil(F.lit(threshold) * F.col("b.sz")))
+    )
     cand = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.id") < F.col("b.id")))
+               & (F.col("a.id") < F.col("b.id")) & size_ok)
         .select(F.col("a.id").alias("rep_a"), F.col("b.id").alias("rep_b"))
         .dropDuplicates(["rep_a", "rep_b"])
     )
