@@ -153,7 +153,10 @@ def _sessionize_group(
                 ]
             )
         return
-    rows = pd.concat(list(pdfs)).sort_values("ts")
+    # (ts, event_id): bare ts would leave tied timestamps in shuffle
+    # arrival order — nondeterministic across runs/partitionings; the
+    # batch twin (q_events_sessions) orders by the same pair
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
     if state.exists:
         start_us, end_us, n, s = state.get
     else:
