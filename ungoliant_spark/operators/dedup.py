@@ -120,7 +120,15 @@ def jaccard_pairs(
     )
     groups = sh0.groupBy("sh").agg(
         F.min("id").alias("rep"), F.collect_list("id").alias("ids")
-    )
+    ).persist()
+    # persist(): the group table feeds FOUR consumers (prefix index,
+    # both sides of the expansion join, intra pairs) and Spark's
+    # exchange reuse cannot unify them (the consumers sit under
+    # different join-key/broadcast exchanges — verified 7 full input
+    # scans without this). The cached relation is one row per DISTINCT
+    # shingle set — orders of magnitude smaller than the input scan +
+    # explode it replaces; LRU eviction makes the worst case a
+    # recompute, never an OOM.
     # representative-level exact pair scores with PREFIX FILTERING
     # (AllPairs/PPJoin, Bayardo et al. WWW'07): for J(A,B) ≥ t, the
     # two sets must share an element within each set's first
@@ -281,7 +289,7 @@ def minhash_lsh_pairs(
         F.min("id").alias("rep"),
         F.collect_list("id").alias("ids"),
         *[F.min(f"s{i}").alias(f"s{i}") for i in range(N_PERMS)],
-    )
+    ).persist()  # 4 consumers, exchange reuse can't unify (see jaccard_pairs)
     bands = groups.select(
         F.col("rep").alias("id"),
         "shingles",
@@ -437,7 +445,7 @@ def simhash_pairs(
     sh = simhash63_table(df, id_col, text_col)
     groups = sh.groupBy("simhash").agg(
         F.min(id_col).alias("rep"), F.collect_list(id_col).alias("ids")
-    )
+    ).persist()  # 4 consumers, exchange reuse can't unify (see jaccard_pairs)
     banded = groups.select(
         F.col("rep").alias("id"),
         "simhash",
