@@ -198,3 +198,50 @@ def test_simhash_pairs_rejects_lossy_max_hamming(spark):
     )
     with pytest.raises(ValueError, match="lossless"):
         simhash_pairs(docs, max_hamming=4)
+
+
+def test_bucketed_rebuild_join_has_no_exchange(spark):
+    """Co-bucketed lineage/clips tables must rebuild with a
+    shuffle-free sort-merge join: zero Exchange in the executed plan
+    (the plain rebuild shuffles the full source corpus on the record
+    id — the largest avoidable data movement at 10^12 clips). Result
+    must equal the plain path row-for-row."""
+    from ungoliant_spark.plans.checkpoint import lineage_of, rebuild
+    from ungoliant_spark.plans.pipeline import decide, kept_output
+    from ungoliant_spark.sources.bucketed import (
+        rebuild_bucketed,
+        write_bucketed,
+    )
+    from ungoliant_spark.sources.fixtures import generate
+
+    clips = spark.read.parquet(f"{generate(0.001)}/clips.parquet")
+    kept = kept_output(decide(clips))
+    lineage = lineage_of(kept, "chunk-00000")
+    write_bucketed(lineage, "t_lineage_b", "record_id", 4)
+    write_bucketed(
+        clips.withColumnRenamed("clip_id", "record_id")
+        .select("record_id", "transcript"),
+        "t_clips_b", "record_id", 4,
+    )
+    try:
+        # keep AQE from broadcasting the small test tables — the gate
+        # is about the large-table plan shape
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        df = rebuild_bucketed(spark, "t_lineage_b", "t_clips_b")
+        rows = df.collect()
+        plan = _plan(df)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # bit-identical to the plain (shuffling) rebuild
+        plain = {
+            (r["record_id"], r["content"])
+            for r in rebuild(lineage, clips).collect()
+        }
+        assert {(r["record_id"], r["content"]) for r in rows} == plain
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_lineage_b")
+        spark.sql("DROP TABLE IF EXISTS t_clips_b")

@@ -53,9 +53,20 @@ def get_spark(
         # steals CPU (shared-VM sandbox).
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:G1HeapRegionSize=32m -XX:ParallelGCThreads=8",
+            "-XX:G1HeapRegionSize=32m -XX:ParallelGCThreads=8 "
+            # Derby metastore beside the warehouse, not in the CWD
+            f"-Dderby.system.home={os.path.abspath('.cache')}",
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # catalog tables (bucketed layouts, sources/bucketed.py) land
+        # under .cache instead of littering the CWD
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.abspath(".cache/spark-warehouse"),
+            ),
+        )
     )
     return builder.getOrCreate()
