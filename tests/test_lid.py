@@ -194,3 +194,55 @@ def test_strict_multilingual_bytes_reference_cases():
     seven = [(( lg, 0.1), 100) for lg in
              ("en", "fr", "uk", "fi", "uz", "pa", "zh")]
     assert strict_multilingual_bytes(_cycle(seven, 10)) is False
+
+
+def test_predict_batch_vectorized_equals_per_line():
+    """The vectorized batch path (token dedup + bulk FNV hashing +
+    scatter-add assembly) must be BIT-identical to the sequential
+    per-line path — including NUL bytes inside tokens (pandas
+    factorize would silently collapse those: the reason dedup is a
+    plain dict), non-ASCII ngrams, and >62-byte tokens (scalar
+    fallback)."""
+    import numpy as np
+
+    from ungoliant_spark.lid_model import LidModel
+
+    m = LidModel.load()
+    mref = LidModel.load()
+    lines = [
+        "the people of this world were there because they could",
+        "le français est une langue que nous avons déjà aujourd'hui",
+        "on\x00 on al\x00so different tokens entirely",
+        "héllo wörld àccénts ñiño 日本語 テスト",
+        "a" * 200 + " normal words here",
+        "",
+        "   ",
+        "<" * 70,
+        "x",
+    ]
+
+    def ref_one(line, threshold=0.8):
+        h = mref.hidden(line)
+        if h is None:
+            return None
+        logits = h.astype(np.float64) @ mref.W.astype(np.float64) + mref.b
+        logits -= logits.max()
+        p = np.exp(logits)
+        p /= p.sum()
+        best = int(p.argmax())
+        prob = float(np.float32(p[best]))
+        label = mref.labels[best]
+        if label in mref.junk or prob < threshold:
+            return None
+        return (label, prob)
+
+    got = m.predict_batch(lines)
+    exp = [ref_one(ln) for ln in lines]
+    assert got == exp
+    # token-vector cache values are the scalar path's, bit-for-bit
+    toks = ["héllo", "日本語", "on\x00", "a" * 200, "x", "<>", "mixé"]
+    V, C = m._token_vecs_bulk(toks)
+    mtok = LidModel.load()
+    for i, tk in enumerate(toks):
+        v, c = mtok._token_vec(tk)
+        assert np.array_equal(v, V[i]) and c == C[i], tk

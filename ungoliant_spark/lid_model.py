@@ -125,6 +125,118 @@ class LidModel:
             cache[tok] = out
         return out
 
+    def _token_vecs_bulk(
+        self, tokens: list[str]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(V, C): per-token feature-embedding sums and feature counts
+        for a list of UNIQUE tokens — the batched twin of _token_vec.
+
+        Cache misses are hashed vectorized: all missed tokens' feature
+        strings (token + '<tok>' char-ngrams, in _token_vec's order)
+        go into one padded byte matrix and FNV-1a runs as ~width numpy
+        steps over every feature at once. The per-token embedding sum
+        then uses THE SAME ``E[ids].sum(axis=0, dtype=float64)`` call
+        on the same ids _token_vec would produce, so values are
+        BIT-IDENTICAL to the scalar path (same op, same inputs — no
+        reliance on summation-order equivalence; np.sum is pairwise,
+        not sequential). Features longer than 64 UTF-8 bytes
+        (pathological tokens) and the real-fastText path fall back to
+        _token_vec."""
+        dim = self.E.shape[1]
+        V = np.empty((len(tokens), dim), dtype=np.float64)
+        C = np.empty(len(tokens), dtype=np.int64)
+        cache = self.__dict__.setdefault("_tok_cache", {})
+        missing: list[int] = []
+        for i, tok in enumerate(tokens):
+            hit = cache.get(tok)
+            if hit is None:
+                missing.append(i)
+            else:
+                V[i], C[i] = hit
+        if not missing:
+            return V, C
+        if "ft_words" in self.__dict__:
+            for i in missing:
+                V[i], C[i] = self._token_vec(tokens[i])
+            return V, C
+        feats: list[bytes] = []
+        spans: list[tuple[int, int, int]] = []  # (token index, start, end)
+        slow: list[int] = []
+        ap = feats.append
+        for i in missing:
+            tok = tokens[i]
+            w = f"<{tok}>"
+            tok_b = tok.encode("utf-8")
+            if len(tok_b) > 62:  # only the token itself can exceed the
+                slow.append(i)   # cap: char-ngrams are ≤ 4 chars ≤ 16 B
+                continue
+            s = len(feats)
+            ap(tok_b)
+            if w.isascii():
+                # ASCII fast path: char slicing == byte slicing, so
+                # slice the encoded bytes instead of encoding 15+
+                # ngram substrings per token
+                w_b = w.encode("utf-8")
+                lw = len(w_b)
+                for n in range(MINN, MAXN + 1):
+                    for j in range(lw - n + 1):
+                        ap(w_b[j : j + n])
+            else:
+                for n in range(MINN, MAXN + 1):
+                    for j in range(len(w) - n + 1):
+                        ap(w[j : j + n].encode("utf-8"))
+            spans.append((i, s, len(feats)))
+        for i in slow:
+            V[i], C[i] = self._token_vec(tokens[i])
+        if feats:
+            lens = np.fromiter(
+                (len(b) for b in feats), dtype=np.int64, count=len(feats)
+            )
+            width = int(lens.max())
+            # build the padded byte matrix with ONE unpadded concat +
+            # a vectorized scatter (no per-feature padding/assignment:
+            # 5M+ features per 20k docs)
+            flat = np.frombuffer(b"".join(feats), dtype=np.uint8)
+            starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            within = np.arange(len(flat), dtype=np.int64) - np.repeat(
+                starts, lens
+            )
+            rowbase = np.repeat(
+                np.arange(len(feats), dtype=np.int64) * width, lens
+            )
+            mat = np.zeros(len(feats) * width, dtype=np.uint8)
+            mat[rowbase + within] = flat
+            mat = mat.reshape(len(feats), width)
+            # FNV-1a over length-DESC-sorted rows: at byte position p
+            # only the first k_p rows are still active, so each step
+            # works a contiguous prefix slice instead of a full-width
+            # masked array (features average ~5 bytes; full-width
+            # iteration would waste ~90% of the lanes)
+            order = np.argsort(-lens, kind="stable")
+            mat_s = mat[order]
+            lens_s = lens[order]
+            h = np.full(len(feats), int(_FNV_BASIS), dtype=np.uint64)
+            prime = np.uint64(int(_FNV_PRIME))
+            mask = np.uint64(0xFFFFFFFF)
+            for pos in range(width):
+                k = int(np.searchsorted(-lens_s, -(pos + 1), side="right"))
+                if k == 0:
+                    break
+                hk = h[:k]
+                hk ^= mat_s[:k, pos]
+                hk *= prime
+                hk &= mask
+            ids_s = (h % np.uint64(self.buckets)).astype(np.int64)
+            ids = np.empty_like(ids_s)
+            ids[order] = ids_s
+            for i, s, e in spans:
+                vec = self.E[ids[s:e]].sum(axis=0, dtype=np.float64)
+                V[i] = vec
+                C[i] = e - s
+                if len(cache) < 2_000_000:
+                    cache[tokens[i]] = (vec, e - s)
+        return V, C
+
     def hidden(self, line: str) -> np.ndarray | None:
         toks = line.split()
         if not toks:
@@ -158,17 +270,49 @@ class LidModel:
         Spark UDF. Semantics identical to FastText::predict_one
         (model.rs:64-89): below-threshold or junk-class argmax → None.
         """
-        idx: list[int] = []
-        hs: list[np.ndarray] = []
         out: list[tuple[str, float] | None] = [None] * len(lines)
-        for i, line in enumerate(lines):
-            h = self.hidden(line)
-            if h is not None:
-                idx.append(i)
-                hs.append(h)
-        if not hs:
+        # hidden-vector assembly vectorized over the whole batch: the
+        # per-token Python work was 55% of the fused model stage. One
+        # _token_vecs_bulk call covers the unique tokens (bit-identical
+        # to _token_vec — see its docstring), then one scatter-add
+        # forms the per-line sums. np.add.at applies additions in
+        # index order, so each line's float64 accumulation order is
+        # exactly the sequential loop's (and 0.0 + x == x), making the
+        # float32 hidden — and every downstream decision — unchanged
+        # (gated by an exhaustive equality test). Dedup is a plain
+        # dict: pandas' factorize hashes object strings as C strings,
+        # silently collapsing tokens that differ only past a NUL byte.
+        tokd = [line.split() for line in lines]
+        all_toks = [t for toks in tokd for t in toks]
+        if not all_toks:
             return out
-        H = np.stack(hs).astype(np.float64)
+        index: dict[str, int] = {}
+        uniques: list[str] = []
+        codes = np.empty(len(all_toks), dtype=np.int64)
+        for k, tok in enumerate(all_toks):
+            j = index.get(tok)
+            if j is None:
+                j = len(uniques)
+                index[tok] = j
+                uniques.append(tok)
+            codes[k] = j
+        V, C = self._token_vecs_bulk(uniques)
+        row_arr = np.repeat(
+            np.arange(len(lines)), [len(t) for t in tokd]
+        )
+        dim = V.shape[1]
+        total = np.zeros((len(lines), dim), dtype=np.float64)
+        np.add.at(total, row_arr, V[codes])
+        nfeat = np.zeros(len(lines), dtype=np.int64)
+        np.add.at(nfeat, row_arr, C[codes])
+        valid = nfeat > 0
+        idx = np.nonzero(valid)[0].tolist()
+        if not idx:
+            return out
+        hidden32 = (
+            total[valid] / nfeat[valid, None]
+        ).astype(np.float32)
+        H = hidden32.astype(np.float64)
         logits = H @ self.W.astype(np.float64) + self.b
         logits -= logits.max(axis=1, keepdims=True)
         p = np.exp(logits)
