@@ -155,8 +155,13 @@ def _sessionize_group(
         return
     # (ts, event_id): bare ts would leave tied timestamps in shuffle
     # arrival order — nondeterministic across runs/partitionings; the
-    # batch twin (q_events_sessions) orders by the same pair
-    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    # batch twin (q_events_sessions) orders by the same pair. Empty
+    # chunks are dropped pre-concat (pandas deprecates concat dtype
+    # inference over empty frames).
+    chunks = [p for p in pdfs if len(p)]
+    if not chunks:
+        return
+    rows = pd.concat(chunks).sort_values(["ts", "event_id"])
     if state.exists:
         start_us, end_us, n, s = state.get
     else:
