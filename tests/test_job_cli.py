@@ -56,9 +56,21 @@ def test_cli_snapshot_run_and_resume(tmp_path):
     assert len(run.committed_chunks()) == 4
     assert run.kept.verify_checksums() == []
 
-    # resume: nothing new
-    out2 = _run_cli(["--input", clips, "--output", OUT, "--chunks", "4"])
+    # resume: nothing new; jsonl packaging step through the CLI flag
+    import glob
+
+    jl = os.path.join(OUT, "jsonl")
+    out2 = _run_cli(["--input", clips, "--output", OUT, "--chunks", "4",
+                     "--jsonl-out", jl])
     assert "committed 0 new chunks" in out2
+    assert "packaged jsonl" in out2
+    parts = glob.glob(os.path.join(jl, "lang_bucket=*", "*.txt.gz"))
+    assert parts
+    import gzip
+
+    first = gzip.open(parts[0], "rt", encoding="utf-8").readline()
+    doc = json.loads(first)
+    assert "content" in doc and "identification" in doc["metadata"]
     shutil.rmtree(OUT, ignore_errors=True)
 
 

@@ -35,7 +35,18 @@ from pyspark.sql import functions as F
 def oscar_document_json(df: DataFrame) -> DataFrame:
     """(lang_bucket, value) where value is the OSCAR-schema JSON line.
     Null metadata fields are kept as JSON nulls (the reference
-    serializes Option::None the same way)."""
+    serializes Option::None the same way). The checkpointed kept table
+    drops the heavy sentence_langs column before committing
+    (plans/checkpoint.py), so sentence identifications serialize as
+    null when packaging from a committed table and as the real array
+    when packaging an in-flight DataFrame."""
+    sent = (
+        F.col("sentence_langs")
+        if "sentence_langs" in df.columns
+        else F.lit(None).cast(
+            "array<struct<label:string,prob:float>>"
+        )
+    )
     meta = F.struct(
         F.struct(
             F.col("lang").alias("label"),
@@ -45,7 +56,7 @@ def oscar_document_json(df: DataFrame) -> DataFrame:
         F.col("tlsh").alias("tlsh"),
         F.col("quality_warnings").alias("quality_warnings"),
         F.col("categories").alias("categories"),
-        F.col("sentence_langs").alias("sentence_identifications"),
+        sent.alias("sentence_identifications"),
         F.struct(
             F.col("clip_id").alias("clip_id"),
             F.col("sr_hz").alias("sr_hz"),
