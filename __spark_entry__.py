@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_trim": dq.q_conv_trim,
         # training-data pipeline ops
         "dedup_exact": dsq.q_dedup_exact,
+        "dedup_reps": dsq.q_dedup_reps,
         "dedup_jaccard": dsq.q_dedup_jaccard,
         "dedup_minhash": dsq.q_dedup_minhash,
         "dedup_embedding": dsq.q_dedup_embedding,
@@ -74,6 +75,7 @@ def oracle_sql() -> dict[str, str]:
         "meanlength": osql.oracle_meanlength(),
         "conv_trim": osql.oracle_conv_trim(),
         "dedup_exact": osqld.oracle_dedup_exact(),
+        "dedup_reps": osqld.oracle_dedup_reps(),
         "dedup_jaccard": osqld.oracle_dedup_jaccard(),
         "dedup_minhash": osqld.oracle_dedup_minhash(),
         "dedup_embedding": osqld.oracle_dedup_embedding(0.5),

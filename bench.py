@@ -87,7 +87,12 @@ def main() -> None:
     clips = spark.read.parquet(f"{clips_dir}/clips.parquet")
     n_clips = clips.count()
     sink = os.path.abspath(".cache/bench_sink")
-    reps = int(os.environ.get("BENCH_REPS", "1"))
+    # median-of-3 by default: this leg is 2/3 of the headline and the
+    # host shows CPU-steal windows that swing single samples up to 3×
+    # (BENCH/BASELINE.md) — a single cold sample cannot distinguish a
+    # real regression from a bad window. The emitted JSON schema is
+    # unchanged; the median is computed inside.
+    reps = int(os.environ.get("BENCH_REPS", "3"))
     out = pipeline_run(
         clips,
         {t: ADULT_CATEGORY for t in ADULT_TERMS},
@@ -99,7 +104,8 @@ def main() -> None:
         t0 = time.time()
         out.write.mode("overwrite").parquet(sink)
         times.append(time.time() - t0)
-    pipeline_sec = round(min(times), 3)
+    times.sort()
+    pipeline_sec = round(times[len(times) // 2], 3)
     timings["clips_pipeline"] = pipeline_sec
 
     total = round(sum(timings.values()), 3)

@@ -48,8 +48,8 @@ def parse_blocklist(path: str | None) -> dict[str, str] | None:
         return {row[0]: row[1] for row in csv.reader(f) if len(row) >= 2}
 
 
-def schema_json_path(output: str) -> str:
-    """Where metadata_schema.json lands for the Iceberg branch. A
+def _aux_path(output: str, name: str) -> str:
+    """Where a per-run auxiliary file lands for the Iceberg branch. A
     path-like output gets the file beside it (matching the snapshot
     branch, which writes under out_root); a catalog identifier like
     `cat.db.run` has no directory, so the file is named after the
@@ -57,8 +57,16 @@ def schema_json_path(output: str) -> str:
     with different outputs never clobber each other."""
     if "/" in output:
         os.makedirs(output, exist_ok=True)
-        return os.path.join(output, "metadata_schema.json")
-    return f"{output}.metadata_schema.json"
+        return os.path.join(output, name)
+    return f"{output}.{name}"
+
+
+def schema_json_path(output: str) -> str:
+    return _aux_path(output, "metadata_schema.json")
+
+
+def chunks_json_path(output: str) -> str:
+    return _aux_path(output, "chunks.json")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -94,7 +102,17 @@ def main(argv: list[str] | None = None) -> int:
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
-    if "/" in args.input or args.input.endswith(".parquet"):
+    from ungoliant_spark.plans.checkpoint import manifest_files
+
+    # SnapshotTable-root inputs are read from their manifest: the
+    # committed file list plans file-range chunks metadata-only (the
+    # Iceberg-manifest analog), with no plan introspection
+    in_manifest = (
+        manifest_files(args.input) if "/" in args.input else None
+    )
+    if in_manifest is not None:
+        clips = spark.read.parquet(*in_manifest)
+    elif "/" in args.input or args.input.endswith(".parquet"):
         clips = spark.read.parquet(args.input)
     else:
         clips = spark.read.table(args.input)
@@ -105,24 +123,33 @@ def main(argv: list[str] | None = None) -> int:
 
         run = CheckpointedRun(args.output)
         committed = run.run(
-            clips, args.chunks, terms, n_partitions=args.partitions
+            clips,
+            args.chunks,
+            terms,
+            n_partitions=args.partitions,
+            files=in_manifest,
         )
         print(f"committed {len(committed)} new chunks -> {args.output}")
     else:
         from ungoliant_spark.plans.checkpoint import (
             lineage_of,
+            load_or_pin_chunk_plan,
             metrics_of,
-            plan_chunks,
         )
         from ungoliant_spark.plans.pipeline import run as pipeline_run
 
-        # file-range chunks when the input is a plain parquet scan
-        # (chunk k reads only its file subset — one scan of the input
-        # total); hash-chunk fallback otherwise. An Iceberg-catalog
-        # input falls back today: the production analog is planning
-        # chunks from the snapshot manifest list, which needs the
-        # Iceberg runtime this sandbox lacks (see checkpoint.py).
-        chunk_df, chunk_strategy, _ = plan_chunks(clips, args.chunks)
+        # file-range chunks when the input is a plain parquet scan or
+        # a SnapshotTable manifest (chunk k reads only its file subset
+        # — one scan of the input total); hash-chunk fallback
+        # otherwise. The plan is PINNED to chunks.json and validated
+        # on resume, exactly like the snapshot branch: if input files
+        # were added/removed between the original run and a resume (or
+        # the strategy would silently flip), committed chunk ids would
+        # map to different row subsets, duplicating or dropping rows.
+        chunk_df, chunk_strategy = load_or_pin_chunk_plan(
+            clips, args.chunks, chunks_json_path(args.output),
+            files=in_manifest,
+        )
         print(f"chunk strategy: {chunk_strategy}")
 
         tables = {
@@ -131,25 +158,26 @@ def main(argv: list[str] | None = None) -> int:
             "metrics": f"{args.output}_metrics",
         }
 
+        def exists(tbl: str) -> bool:
+            # tableExists answers "not found" definitively; a catalog/
+            # network failure raises instead of masquerading as absence
+            return spark.catalog.tableExists(tbl)
+
         def committed(tbl: str) -> set[str]:
-            try:
-                rows = spark.sql(
-                    f"SELECT summary FROM {tbl}.snapshots"
-                ).collect()
-            except Exception:
-                return set()  # table does not exist yet
+            # Only a genuinely missing table yields the empty set. A
+            # transient catalog error on resume must FAIL the job: an
+            # empty committed set here would re-append every chunk of
+            # that table — silent row duplication (ADVICE r3).
+            if not exists(tbl):
+                return set()
+            rows = spark.sql(
+                f"SELECT summary FROM {tbl}.snapshots"
+            ).collect()
             return {
                 cid
                 for row in rows
                 if (cid := dict(row["summary"]).get("ungoliant.chunk"))
             }
-
-        def exists(tbl: str) -> bool:
-            try:
-                spark.read.table(tbl)
-                return True
-            except Exception:
-                return False
 
         # per-table committed sets: resume keys on the INTERSECTION
         # (a chunk is done only when all three tables have it), but

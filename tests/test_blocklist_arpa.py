@@ -85,6 +85,18 @@ def test_corrupt_binary_falls_back_to_arpa(tmp_path):
     assert ArpaModel.load_binary(str(tmp_path / "en.binary")).model == m.model
 
 
+def test_corrupt_binary_without_arpa_raises(tmp_path):
+    """ADVICE r3: a DEPLOYED .binary that fails to load with no .arpa
+    to recompile from must raise — returning None would silently
+    disable the perplexity filter for that language."""
+    (tmp_path / "xx.binary").write_bytes(b"USARPA1\n\x80\x04garbage")
+    with pytest.raises(ValueError, match="corrupt ARPA binary"):
+        load_model("xx", str(tmp_path))
+    # a language with NO artifacts at all still means "no model
+    # configured" — that is not an error
+    assert load_model("yy", str(tmp_path)) is None
+
+
 def test_concurrent_compile_binary_is_safe(tmp_path):
     """Many UDF workers compiling the same .binary concurrently must
     each publish a complete artifact (unique mkstemp + atomic rename);

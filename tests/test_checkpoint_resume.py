@@ -245,3 +245,70 @@ def test_resume_rejects_transformed_input_under_file_plan(spark, clips, tmp_path
         CheckpointedRun(out).run(
             spark.read.parquet(src).filter("dur_ms > 0"), n_chunks=4
         )
+
+
+def test_manifest_chunk_planning_no_plan_introspection(spark, clips, tmp_path):
+    """Round-3 verdict item 6: a SnapshotTable input plans file-range
+    chunks from its manifest JSON alone — metadata-only, no
+    `scan_files` plan introspection (monkeypatch-proof), same
+    round-robin assignment, union of chunks == committed rows."""
+    import json
+    import os
+    from unittest import mock
+
+    from ungoliant_spark.plans import checkpoint as cp
+    from ungoliant_spark.sources.tables import SnapshotTable
+
+    root = str(tmp_path / "snaptbl")
+    tbl = SnapshotTable(root)
+    half = clips.limit(40)
+    tbl.append(half.repartition(4), "chunk-00000")
+    tbl.append(clips.subtract(half).repartition(4), "chunk-00001")
+
+    files = cp.manifest_files(root)
+    assert files is not None and len(files) >= 8
+    assert files == tbl.files()
+    # not a SnapshotTable root → None (caller falls back)
+    assert cp.manifest_files(str(tmp_path)) is None
+
+    df = spark.read.parquet(*files)
+    pin = str(tmp_path / "chunks.json")
+    with mock.patch.object(
+        cp, "scan_files", side_effect=AssertionError("introspection used")
+    ):
+        chunk_df, strategy = cp.load_or_pin_chunk_plan(
+            df, 4, pin, files=files
+        )
+    assert strategy == "files"
+    assert json.load(open(pin))["files"] == files
+    total = sum(chunk_df(k).count() for k in range(4))
+    assert total == clips.count()
+    # chunk file subsets are the pinned round-robin assignment
+    got0 = {os.path.normpath(p.replace("file:", ""))
+            for p in chunk_df(0).inputFiles()}
+    assert got0 == {os.path.normpath(p) for p in files[0::4]}
+
+
+def test_scan_files_private_api_failure_degrades_loudly(spark, clips):
+    """Round-3 verdict item 8: `scan_files` walks private JVM
+    internals (`_jdf.queryExecution`); when a Spark upgrade changes
+    that shape it must degrade to the hash-chunk fallback (slow but
+    correct), not crash or mis-chunk."""
+    from ungoliant_spark.plans.checkpoint import plan_chunks, scan_files
+
+    class _Boom:
+        def __getattr__(self, name):
+            raise RuntimeError("internal API changed")
+
+    broken = clips.alias("c")
+    real_jdf = broken._jdf  # plain instance attribute in classic pyspark
+    broken._jdf = _Boom()
+    try:
+        assert scan_files(broken) is None
+        chunk_df, strategy, files = plan_chunks(broken, 2)
+        assert strategy == "hash" and files is None
+    finally:
+        broken._jdf = real_jdf
+    # the fallback chunking still covers every row exactly once
+    total = sum(chunk_df(k).count() for k in range(2))
+    assert total == clips.count()

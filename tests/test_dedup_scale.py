@@ -1,0 +1,147 @@
+"""Mega-dup-cluster guard (round-3 verdict item 2) + rep-mapping
+deliverable: a crawl where one boilerplate/empty doc repeats 10^8
+times must not OOM the group collect_list or the pair expansion.
+
+The cap's contract: clusters larger than ``max_cluster_size``
+participate in pair generation via their representative ONLY; the
+member-list aggregation buffer never holds more than cap ids (members
+of over-cap clusters are filtered out BEFORE collect_list); the
+suppressed counts are logged, never silent."""
+
+from __future__ import annotations
+
+import logging
+
+import pytest
+from pyspark.sql import functions as F
+
+from ungoliant_spark.operators import dedup as dd
+
+# three exact-dup clusters: A (big, near-dup of B), B (small), C (big, empty)
+N_A, N_B, N_C = 50, 3, 40
+TEXT_A = "alpha beta gamma delta epsilon zeta eta theta"
+TEXT_B = "alpha beta gamma delta epsilon zeta eta iota"
+CAP = 8
+A_IDS = list(range(N_A))  # rep 0
+B_IDS = [100 + i for i in range(N_B)]  # rep 100
+C_IDS = [200 + i for i in range(N_C)]  # rep 200
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, TEXT_A) for i in A_IDS]
+    rows += [(i, TEXT_B) for i in B_IDS]
+    rows += [(i, "") for i in C_IDS]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dup_groups_buffers_bounded(spark):
+    """The collect_list input is filtered by cluster size BEFORE the
+    aggregate: no group's member array exceeds the cap, and over-cap
+    groups carry exactly their representative."""
+    kv = spark.createDataFrame(
+        [(i, i % 3) for i in range(300)] + [(1000, 99)],
+        "id long, k long",
+    )
+    g = {r["k"]: r for r in dd._dup_groups(kv, "k", "id", 10).collect()}
+    dd.unpersist_group_tables()
+    for k in (0, 1, 2):  # clusters of 100 → rep only
+        assert g[k]["ids"] == [g[k]["rep"]] == [k]
+    assert g[99]["ids"] == [1000]  # singleton under cap, kept whole
+    g2 = dd._dup_groups(kv, "k", "id", 100).collect()
+    dd.unpersist_group_tables()
+    assert sorted(len(r["ids"]) for r in g2) == [1, 100, 100, 100]
+
+
+def test_dup_groups_rejects_bad_cap(spark):
+    kv = spark.createDataFrame([(1, 1)], "id long, k long")
+    with pytest.raises(ValueError, match="max_cluster_size"):
+        dd._dup_groups(kv, "k", "id", 0)
+
+
+def test_jaccard_cap_exact_output(spark, docs, caplog):
+    """Capped jaccard on the adversarial fixture: big clusters' intra
+    pairs are suppressed, inter pairs route through the rep only —
+    the exact 6-row output is deterministic."""
+    with caplog.at_level(logging.WARNING, logger="ungoliant_spark.operators.dedup"):
+        pairs = dd.jaccard_pairs(docs, max_cluster_size=CAP).toPandas()
+    dd.unpersist_group_tables()
+    assert "capped" in caplog.text and "2 clusters" in caplog.text
+    got = {(int(r.id_a), int(r.id_b)) for r in pairs.itertuples()}
+    exp_intra_b = {(100, 101), (100, 102), (101, 102)}
+    exp_inter = {(0, b) for b in B_IDS}  # rep_A × all of B
+    assert got == exp_intra_b | exp_inter
+    assert (pairs[pairs.id_a == 0].jaccard.round(3) == 0.714).all()
+
+
+def test_minhash_cap_equals_uncapped_restricted(spark, docs):
+    """Capped output == uncapped output restricted to allowed ids
+    (reps of over-cap clusters + all members of small clusters) —
+    the cap drops rows, never changes surviving scores."""
+    uncapped = dd.minhash_lsh_pairs(docs).toPandas()
+    capped = dd.minhash_lsh_pairs(docs, max_cluster_size=CAP).toPandas()
+    dd.unpersist_group_tables()
+    allowed = {0, 200, *B_IDS}
+    exp = uncapped[
+        uncapped.id_a.isin(allowed) & uncapped.id_b.isin(allowed)
+    ]
+    key = lambda df: sorted(map(tuple, df[["id_a", "id_b", "jaccard"]].values.tolist()))
+    assert key(capped) == key(exp)
+    assert len(capped) < len(uncapped)  # the big intra sets are gone
+
+
+def test_simhash_cap_equals_uncapped_restricted(spark, docs):
+    """Same restriction property for simhash — allowed ids derived
+    from the ACTUAL simhash clusters (near-dup texts can share a
+    simhash word, merging clusters)."""
+    sh = dd.simhash63_table(docs).toPandas()
+    allowed = set()
+    for _, grp in sh.groupby("simhash"):
+        ids = sorted(grp.doc_id)
+        allowed |= {ids[0]} if len(ids) > CAP else set(ids)
+    uncapped = dd.simhash_pairs(docs).toPandas()
+    capped = dd.simhash_pairs(docs, max_cluster_size=CAP).toPandas()
+    dd.unpersist_group_tables()
+    exp = uncapped[
+        uncapped.id_a.isin(allowed) & uncapped.id_b.isin(allowed)
+    ]
+    key = lambda df: sorted(map(tuple, df[["id_a", "id_b", "hamming"]].values.tolist()))
+    assert key(capped) == key(exp)
+    assert len(capped) < len(uncapped)
+
+
+def test_exact_dedup_reps_mapping(spark, docs):
+    """The production deliverable: id → (rep, cluster_size), no
+    collect_list / no window anywhere in the plan."""
+    reps = dd.exact_dedup_reps(docs)
+    plan = reps._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan and "Window" not in plan, plan
+    assert "partial_min" in plan, plan  # map-side combine before shuffle
+    pdf = reps.toPandas().set_index("doc_id")
+    assert (pdf.loc[A_IDS].rep_id == 0).all()
+    assert (pdf.loc[A_IDS].cluster_size == N_A).all()
+    assert (pdf.loc[B_IDS].rep_id == 100).all()
+    assert (pdf.loc[C_IDS].cluster_size == N_C).all()
+    # dedup consumption: keep one copy per cluster
+    kept = pdf[pdf.index == pdf.rep_id]
+    assert sorted(kept.index) == [0, 100, 200]
+
+
+def test_exact_dedup_no_window(spark, docs):
+    """Round-3 verdict item 4: representative selection is a partial-
+    aggregable groupBy + join, not a per-fingerprint window sort."""
+    dedup = dd.exact_dedup(docs)
+    plan = dedup._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan, plan
+    pdf = dedup.toPandas()
+    assert len(pdf) == N_A + N_B + N_C
+    assert (~pdf[pdf.doc_id.isin([0, 100, 200])].is_dup).all()
+    assert int(pdf.is_dup.sum()) == (N_A - 1) + (N_B - 1) + (N_C - 1)
+
+
+def test_unpersist_group_tables_releases(spark, docs):
+    dd.unpersist_group_tables()  # clean slate
+    dd.jaccard_pairs(docs).count()
+    assert dd.unpersist_group_tables() >= 1
+    assert dd.unpersist_group_tables() == 0

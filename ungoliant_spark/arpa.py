@@ -247,8 +247,18 @@ def load_model(lang: str, arpa_dir: str | None = None) -> "ArpaModel | None":
     if os.path.exists(bin_path):
         try:
             return ArpaModel.load_binary(bin_path)
-        except _BINARY_ERRORS:
-            pass  # stale/corrupt artifact — recompile below if we can
+        except _BINARY_ERRORS as exc:
+            if not os.path.exists(arpa_path):
+                # a .binary was DEPLOYED but is unreadable and there is
+                # no .arpa to recompile from: returning None here would
+                # silently disable the perplexity filter for this lang
+                # (quality regression with no error signal) — fail the
+                # task instead so the truncated artifact gets fixed
+                raise ValueError(
+                    f"corrupt ARPA binary {bin_path!r} with no "
+                    f"companion .arpa to recompile from: {exc}"
+                ) from exc
+            # stale/corrupt artifact — recompile below
     if not os.path.exists(arpa_path):
         return None
     try:

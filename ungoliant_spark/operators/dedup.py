@@ -25,14 +25,39 @@ shape is unchanged.
 
 from __future__ import annotations
 
+import logging
 import random
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 MERSENNE = (1 << 31) - 1  # perm arithmetic stays < 2^62 (no overflow)
 N_PERMS = 16
 N_BANDS = 4  # 4 rows per band
+
+# group tables persisted by the pair generators (MEMORY_AND_DISK).
+# Long-lived sessions invoking these repeatedly would otherwise
+# accumulate disk-backed blocks until session end — callers that
+# materialize the pairs should call unpersist_group_tables() after.
+_PERSISTED_GROUPS: list[DataFrame] = []
+
+
+def _persist_groups(df: DataFrame) -> DataFrame:
+    _PERSISTED_GROUPS.append(df.persist())
+    return df
+
+
+def unpersist_group_tables() -> int:
+    """Unpersist every group table cached by the pair generators in
+    this process; returns how many were released. Safe to call any
+    time — an un-materialized pairs DataFrame just recomputes."""
+    n = 0
+    while _PERSISTED_GROUPS:
+        _PERSISTED_GROUPS.pop().unpersist()
+        n += 1
+    return n
 
 
 def _perm_coeffs(seed: int = 42) -> list[tuple[int, int]]:
@@ -78,18 +103,141 @@ def shingles_of(text: Column, n: int = 3) -> Column:
 def exact_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, fingerprint, rep_id, is_dup): one shuffle (groupBy on the
-    64-bit fingerprint), min-id representative per group."""
+    """(id, fingerprint, rep_id, is_dup): min-id representative per
+    fingerprint group.
+
+    Representative selection is ``groupBy(fingerprint).agg(min(id))``
+    + an equi-join back, NOT ``min over (partition by fingerprint)``:
+    the window form buffers/sorts every row of a fingerprint partition
+    in one task, so a mega-dup fingerprint (one boilerplate doc
+    repeated 10^8 times in a crawl) becomes a multi-GB straggler. The
+    aggregate form partial-aggregates map-side (each input task emits
+    one (fingerprint, min) row per local group) and the join back is
+    on the same key — same shuffle count, bounded task memory.
+    Plan-gated by tests/test_plan_quality.py (partial_min before the
+    exchange, no Window)."""
     keyed = df.select(
         F.col(id_col),
         hash64(normalize_text(F.col(text_col))).alias("fingerprint"),
     )
-    w = Window.partitionBy("fingerprint")
-    return keyed.select(
+    reps = keyed.groupBy("fingerprint").agg(F.min(id_col).alias("rep_id"))
+    return keyed.join(reps, "fingerprint").select(
         id_col,
         "fingerprint",
-        F.min(id_col).over(w).alias("rep_id"),
+        "rep_id",
     ).withColumn("is_dup", F.col(id_col) != F.col("rep_id"))
+
+
+def exact_dedup_reps(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, rep_id, cluster_size) — the rep-mapping production dedup
+    deliverable: for each document, the representative of its
+    exact-dup cluster and the cluster's size. A 100 TB dedup job
+    consumes THIS (join + filter ``id == rep_id`` keeps one copy;
+    cluster_size feeds repetition-weighted sampling), not a pair list
+    (the pair list of a 10^8-dup cluster is 5×10^15 rows). No
+    collect_list anywhere: both aggregates (min, count) partial-
+    aggregate map-side, and the join back is an equi-join on the
+    fingerprint — every task buffer is O(1) per group regardless of
+    cluster size."""
+    keyed = df.select(
+        F.col(id_col),
+        hash64(normalize_text(F.col(text_col))).alias("fingerprint"),
+    )
+    stats = keyed.groupBy("fingerprint").agg(
+        F.min(id_col).alias("rep_id"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    return keyed.join(stats, "fingerprint").select(
+        id_col, "rep_id", "cluster_size"
+    )
+
+
+def _dup_groups(
+    kv: DataFrame,
+    key_col: str,
+    id_col: str,
+    max_cluster_size: int | None,
+    extra_min_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """One row per distinct ``key_col`` value: (key, rep, ids[,
+    extras]) — the dup-group table the pair generators expand from.
+
+    ``max_cluster_size=None`` (default, and what the oracle-checked
+    driver rows run): ONE hash-aggregate computes min-id, the member
+    list, and any extra per-group minima.
+
+    ``max_cluster_size=k`` — mega-dup-cluster guard for crawl-scale
+    runs: a boilerplate/empty document repeated 10^8 times would make
+    ``collect_list`` build one multi-GB row and the intra-group
+    expansion emit O(10^16) pairs from one task. With the cap, member
+    lists are built ONLY from clusters of ≤ k docs (plus each big
+    cluster's representative), so no aggregation buffer or expansion
+    ever holds more than k ids: cluster sizes come from a map-side-
+    combinable count, and members of over-cap clusters are filtered
+    out BEFORE the collect_list (bounded buffers by construction, not
+    by truncating a built array). Over-cap clusters participate in
+    pair generation via their representative only; suppressed member
+    and pair counts are computed eagerly (one scalar aggregate job)
+    and logged — never a silent cap.
+
+    The group table is persisted (it feeds 4 consumers that exchange
+    reuse cannot unify); call :func:`unpersist_group_tables` after
+    materializing the pairs."""
+    extras = [F.min(c).alias(c) for c in extra_min_cols]
+    if max_cluster_size is None:
+        return _persist_groups(
+            kv.groupBy(key_col).agg(
+                F.min(id_col).alias("rep"),
+                F.collect_list(id_col).alias("ids"),
+                *extras,
+            )
+        )
+    if max_cluster_size < 1:
+        raise ValueError(f"max_cluster_size must be >= 1, got {max_cluster_size}")
+    stats = _persist_groups(
+        kv.groupBy(key_col).agg(
+            F.min(id_col).alias("rep"),
+            F.count(F.lit(1)).alias("sz"),
+            *extras,
+        )
+    )
+    over = (
+        stats.filter(F.col("sz") > max_cluster_size)
+        .agg(
+            F.count(F.lit(1)).alias("groups"),
+            F.coalesce(F.sum(F.col("sz") - 1), F.lit(0)).alias("members"),
+            F.coalesce(
+                F.sum(
+                    (F.col("sz") * (F.col("sz") - 1) / F.lit(2)).cast("long")
+                ),
+                F.lit(0),
+            ).alias("pairs"),
+        )
+        .collect()[0]
+    )
+    if over["groups"]:
+        _LOG.warning(
+            "dedup pair expansion capped: %d clusters exceed "
+            "max_cluster_size=%d; %d non-representative members "
+            "suppressed from expansion (%d intra-cluster pairs not "
+            "enumerated)",
+            over["groups"],
+            max_cluster_size,
+            over["members"],
+            over["pairs"],
+        )
+    members = (
+        kv.select(key_col, id_col)
+        .join(stats.select(key_col, "rep", "sz"), key_col)
+        .filter(
+            (F.col("sz") <= max_cluster_size) | (F.col(id_col) == F.col("rep"))
+        )
+        .select(key_col, id_col)
+    )
+    ids = members.groupBy(key_col).agg(F.collect_list(id_col).alias("ids"))
+    return _persist_groups(stats.drop("sz").join(ids, key_col))
 
 
 def jaccard_pairs(
@@ -98,8 +246,15 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard ≥ threshold pairs (a < b).
+
+    ``max_cluster_size``: mega-dup-cluster guard — see
+    :func:`_dup_groups`. None (default) is exact; a crawl-scale run
+    should set it (e.g. 10_000) so a 10^8-dup boilerplate cluster
+    cannot OOM the collect_list or the pair expansion; suppressed
+    counts are logged, never silent.
 
     Exact-duplicate hardening: documents with IDENTICAL shingle sets
     are grouped first (groupBy on the sorted shingle array — exact,
@@ -118,17 +273,13 @@ def jaccard_pairs(
         F.col(id_col).alias("id"),
         F.array_sort(shingles_of(F.col(text_col), n)).alias("sh"),
     )
-    groups = sh0.groupBy("sh").agg(
-        F.min("id").alias("rep"), F.collect_list("id").alias("ids")
-    ).persist()
-    # persist(): the group table feeds FOUR consumers (prefix index,
-    # both sides of the expansion join, intra pairs) and Spark's
-    # exchange reuse cannot unify them (the consumers sit under
-    # different join-key/broadcast exchanges — verified 7 full input
-    # scans without this). The cached relation is one row per DISTINCT
-    # shingle set — orders of magnitude smaller than the input scan +
-    # explode it replaces; LRU eviction makes the worst case a
-    # recompute, never an OOM.
+    # persisted group table: feeds FOUR consumers (prefix index, both
+    # sides of the expansion join, intra pairs) and Spark's exchange
+    # reuse cannot unify them (the consumers sit under different
+    # join-key/broadcast exchanges — verified 7 full input scans
+    # without this). One row per DISTINCT shingle set — orders of
+    # magnitude smaller than the input scan + explode it replaces.
+    groups = _dup_groups(sh0, "sh", "id", max_cluster_size)
     # representative-level exact pair scores with PREFIX FILTERING
     # (AllPairs/PPJoin, Bayardo et al. WWW'07): for J(A,B) ≥ t, the
     # two sets must share an element within each set's first
@@ -251,6 +402,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """Candidate pairs via LSH band collisions, verified with exact
     Jaccard. The join key is the band hash — sub-quadratic at scale.
@@ -283,13 +435,16 @@ def minhash_lsh_pairs(
     per_doc = ex.groupBy("id").agg(
         F.array_sort(F.collect_set("h")).alias("shingles"), *sig_cols
     )
+    # 4 consumers, exchange reuse can't unify (see jaccard_pairs);
     # the signature is a function of the shingle set, so min() over a
     # same-set group just selects the shared value
-    groups = per_doc.groupBy("shingles").agg(
-        F.min("id").alias("rep"),
-        F.collect_list("id").alias("ids"),
-        *[F.min(f"s{i}").alias(f"s{i}") for i in range(N_PERMS)],
-    ).persist()  # 4 consumers, exchange reuse can't unify (see jaccard_pairs)
+    groups = _dup_groups(
+        per_doc,
+        "shingles",
+        "id",
+        max_cluster_size,
+        tuple(f"s{i}" for i in range(N_PERMS)),
+    )
     bands = groups.select(
         F.col("rep").alias("id"),
         "shingles",
@@ -417,6 +572,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (a < b) with SimHash Hamming distance ≤
     ``max_hamming``, via banded LSH on the 63-bit word: split into 4
@@ -443,9 +599,8 @@ def simhash_pairs(
             "miss pairs. Add bands (SIMHASH_BANDS) to raise the bound."
         )
     sh = simhash63_table(df, id_col, text_col)
-    groups = sh.groupBy("simhash").agg(
-        F.min(id_col).alias("rep"), F.collect_list(id_col).alias("ids")
-    ).persist()  # 4 consumers, exchange reuse can't unify (see jaccard_pairs)
+    # 4 consumers, exchange reuse can't unify (see jaccard_pairs)
+    groups = _dup_groups(sh, "simhash", id_col, max_cluster_size)
     banded = groups.select(
         F.col("rep").alias("id"),
         "simhash",

@@ -39,6 +39,18 @@ FROM keyed
 """
 
 
+def oracle_dedup_reps() -> str:
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, {H64.format(NORM)} AS fingerprint FROM documents
+)
+SELECT doc_id,
+  min(doc_id) OVER (PARTITION BY fingerprint) AS rep_id,
+  count(*) OVER (PARTITION BY fingerprint) AS cluster_size
+FROM keyed
+"""
+
+
 _SHINGLE_BASE = f"""
 WITH toked AS (
   SELECT doc_id, {TOKENS} AS toks FROM documents

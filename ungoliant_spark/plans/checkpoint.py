@@ -113,6 +113,89 @@ def plan_chunks(
     return chunk_df, "files", files
 
 
+def manifest_files(table_root: str) -> list[str] | None:
+    """Committed data files of a SnapshotTable, from its manifest
+    JSON only — no DataFrame plan introspection (`scan_files`' private
+    JVM API) involved. This is the metadata-only chunk-planning path a
+    real Iceberg deployment gets from the snapshot's manifest list:
+    chunk k scans only its file subset, one scan of the input total.
+
+    Safe because the emulated table is APPEND-ONLY (no delete files /
+    row-level updates, sources/tables.py commit protocol) — re-reading
+    its raw parquet is exactly the committed data. A real Iceberg
+    table needs the same precondition (no position/equality deletes)
+    before raw file-range re-reads are faithful; gate on it there.
+
+    Returns None when ``table_root`` is not a SnapshotTable or has no
+    committed snapshot."""
+    from ungoliant_spark.sources.tables import SnapshotTable
+
+    latest = os.path.join(table_root, "_snapshots", "LATEST")
+    if not os.path.exists(latest):
+        return None
+    files = SnapshotTable(table_root).files()
+    return files or None
+
+
+def load_or_pin_chunk_plan(
+    clips: DataFrame,
+    n_chunks: int,
+    path: str,
+    files: list[str] | None = None,
+) -> tuple[Callable[[int], DataFrame], str]:
+    """Resolve the chunk→input assignment, pinning it to ``path`` on
+    first run so every resume processes IDENTICAL chunks even if the
+    input listing changes mid-run (the assignment, not the live
+    listing, is the source of truth — the same contract as the
+    reference's shard files). ``files``: an explicit (e.g. manifest-
+    derived) file list that bypasses plan introspection; the caller
+    asserts the input is the bare, untransformed scan of those files.
+
+    Raises on resume mismatches (different n_chunks, input no longer
+    a bare file scan, flipped strategy) instead of silently remapping
+    chunk ids to different row subsets."""
+    if os.path.exists(path):
+        with open(path, encoding="utf-8") as f:
+            pinned = json.load(f)
+        if pinned["n_chunks"] != n_chunks:
+            raise ValueError(
+                f"resume with n_chunks={n_chunks} but this run was "
+                f"started with n_chunks={pinned['n_chunks']} "
+                f"({path}); chunk ids would not line up"
+            )
+        if (
+            pinned["strategy"] == "files"
+            and files is None
+            and scan_files(clips) is None
+        ):
+            # pinned chunks re-read raw files, which would silently
+            # IGNORE any filter/projection on a transformed resume
+            # input — reject rather than produce wrong data
+            raise ValueError(
+                "resume input is not a bare file scan but this run "
+                "was chunked by file ranges; pass the same input "
+                "table the original run used"
+            )
+        chunk_df, strategy, _ = plan_chunks(
+            clips, n_chunks, files=pinned.get("files")
+        )
+        if strategy != pinned["strategy"]:
+            raise ValueError(
+                f"resume resolved chunk strategy {strategy!r} but "
+                f"this run was started with {pinned['strategy']!r}"
+            )
+        return chunk_df, strategy
+    chunk_df, strategy, used_files = plan_chunks(clips, n_chunks, files=files)
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(
+            {"n_chunks": n_chunks, "strategy": strategy, "files": used_files},
+            f,
+        )
+    os.replace(tmp, path)
+    return chunk_df, strategy
+
+
 def lineage_of(kept: DataFrame, chunk_id: str) -> DataFrame:
     w = Window.partitionBy("shard_id").orderBy("record_id")
     return (
@@ -171,50 +254,14 @@ class CheckpointedRun:
         return os.path.join(self.out_root, "chunks.json")
 
     def _load_or_pin_chunk_plan(
-        self, clips: DataFrame, n_chunks: int
+        self,
+        clips: DataFrame,
+        n_chunks: int,
+        files: list[str] | None = None,
     ) -> tuple[Callable[[int], DataFrame], str]:
-        """Resolve the chunk→input assignment, pinning it to disk on
-        first run so every resume processes IDENTICAL chunks even if
-        the input directory listing changes mid-run (the assignment,
-        not the live listing, is the source of truth — the same
-        contract as the reference's shard files)."""
-        path = self._chunk_plan_path()
-        if os.path.exists(path):
-            with open(path, encoding="utf-8") as f:
-                pinned = json.load(f)
-            if pinned["n_chunks"] != n_chunks:
-                raise ValueError(
-                    f"resume with n_chunks={n_chunks} but this run was "
-                    f"started with n_chunks={pinned['n_chunks']} "
-                    f"({path}); chunk ids would not line up"
-                )
-            if pinned["strategy"] == "files" and scan_files(clips) is None:
-                # pinned chunks re-read raw files, which would silently
-                # IGNORE any filter/projection on a transformed resume
-                # input — reject rather than produce wrong data
-                raise ValueError(
-                    "resume input is not a bare file scan but this run "
-                    "was chunked by file ranges; pass the same input "
-                    "table the original run used"
-                )
-            chunk_df, strategy, _ = plan_chunks(
-                clips, n_chunks, files=pinned.get("files")
-            )
-            if strategy != pinned["strategy"]:
-                raise ValueError(
-                    f"resume resolved chunk strategy {strategy!r} but "
-                    f"this run was started with {pinned['strategy']!r}"
-                )
-            return chunk_df, strategy
-        chunk_df, strategy, files = plan_chunks(clips, n_chunks)
-        tmp = path + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(
-                {"n_chunks": n_chunks, "strategy": strategy, "files": files},
-                f,
-            )
-        os.replace(tmp, path)
-        return chunk_df, strategy
+        return load_or_pin_chunk_plan(
+            clips, n_chunks, self._chunk_plan_path(), files=files
+        )
 
     def run(
         self,
@@ -223,11 +270,12 @@ class CheckpointedRun:
         term_to_category: dict[str, str] | None = None,
         n_partitions: int | None = None,
         fail_after: int | None = None,  # test hook: simulate a crash
+        files: list[str] | None = None,  # e.g. manifest_files(input)
     ) -> set[str]:
         """Process all not-yet-committed chunks; returns chunk ids
         committed by THIS invocation. Safe to re-run after any crash."""
         done = self.committed_chunks()
-        chunk_df, _ = self._load_or_pin_chunk_plan(clips, n_chunks)
+        chunk_df, _ = self._load_or_pin_chunk_plan(clips, n_chunks, files)
         committed: set[str] = set()
         schema_written = False
         for chunk in range(n_chunks):

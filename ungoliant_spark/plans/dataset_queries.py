@@ -27,6 +27,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup(_docs(spark, sf_dir))
 
 
+def q_dedup_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup_reps(_docs(spark, sf_dir))
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
 
