@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": dsq.q_knn_cosine,
         "knn_ann_lsh": dsq.q_knn_ann_lsh,
         "knn_ann_ivf": dsq.q_knn_ann_ivf,
+        "knn_ann_ivf_lloyd": dsq.q_knn_ann_ivf_lloyd,
         "text_stats": dsq.q_text_stats,
         "quality_by_source": dsq.q_quality_by_source,
         "zipf_check": dsq.q_zipf_check,
@@ -84,6 +85,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine": osqld.oracle_knn_cosine(),
         "knn_ann_lsh": osqld.oracle_knn_ann_lsh(),
         "knn_ann_ivf": osqld.oracle_knn_ann_ivf(),
+        "knn_ann_ivf_lloyd": osqld.oracle_knn_ann_ivf_lloyd(),
         "text_stats": osqld.oracle_text_stats(),
         "quality_by_source": osqld.oracle_quality_by_source(),
         "zipf_check": osqld.oracle_zipf_check(),

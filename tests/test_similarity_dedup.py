@@ -214,3 +214,56 @@ def test_jaccard_and_minhash_find_near_dup(dup_corpus):
     assert (0, 1) in mh  # identical docs always collide in every band
     for k, v in mh.items():
         assert v == jp[k]
+
+
+@pytest.fixture(scope="module")
+def clustered_embs(spark):
+    """16 well-separated clusters × 40 members (center + 0.15σ noise):
+    the structured fixture that makes a MEANINGFUL recall floor
+    possible — on random vectors (the sf tables) any floor above ~0.2
+    would be dishonest, so regressions there were invisible (round-3
+    verdict item 7)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((16, 64))
+    rows = []
+    vid = 0
+    for ci in range(16):
+        for _ in range(40):
+            v = centers[ci] + 0.15 * rng.standard_normal(64)
+            rows.append((vid, [float(x) for x in v.astype("float32")]))
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).repartition(8).cache()
+    df.count()
+    return df
+
+
+def test_ann_recall_clustered_floor(spark, clustered_embs):
+    """On clustered embeddings every ANN path must achieve ≥0.8
+    recall@5 vs brute force (measured 1.0 at authoring; 0.8 leaves
+    margin for hash-seed churn only, not for real regressions)."""
+    from ungoliant_spark.operators.similarity import ann_ivf_topk
+
+    df = clustered_embs
+    queries = df.filter(F.col("vec_id") % 40 == 0)  # one per cluster
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(df, queries, k=5).collect()
+    }
+    for name, ann in [
+        ("lsh", ann_lsh_topk(df, queries, k=5)),
+        ("ivf", ann_ivf_topk(df, queries, k=5)),
+        ("ivf_lloyd", ann_ivf_topk(df, queries, k=5, lloyd_iters=1)),
+        (
+            "ivf_lloyd_rounded",  # the driver-query configuration
+            ann_ivf_topk(
+                df, queries, k=5, lloyd_iters=1, lloyd_round_dp=6
+            ),
+        ),
+    ]:
+        got = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
+        recall = len(truth & got) / len(truth)
+        assert recall >= 0.8, (name, recall)

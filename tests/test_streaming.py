@@ -158,3 +158,71 @@ def test_sessionize_events(spark, events_stream_src):
         )
     )
     assert (open_per_user == 1).all()
+
+
+
+def test_sessionize_event_time_timeout(spark, tmp_path):
+    """Production session closing (round-3 verdict item 5): an idle
+    session must be emitted when the event-time WATERMARK passes its
+    end + gap — no observed gap event for that user, no sentinel
+    flush. User 1's events arrive in micro-batch 1 and nothing ever
+    again; user 2's much-later event in micro-batch 2 advances the
+    watermark, which alone closes user 1's session (Spark runs a
+    no-data micro-batch to fire the timeout)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    sch = ("event_id long, ts string, user_id long, "
+           "event_type string, value double, props string")
+    out_sch = ("user_id long, session_start timestamp, session_end "
+               "timestamp, n_events long, sum_value double")
+
+    def drop(rows, name):  # the file source wants plain files
+        stage = str(tmp_path / f"stage_{name}")
+        (
+            spark.createDataFrame(rows, sch)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .coalesce(1).write.parquet(stage)
+        )
+        shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0],
+                    f"{src}/{name}.parquet")
+
+    drop([(1, "2026-01-01 00:00:00", 1, "a", 1.0, ""),
+          (2, "2026-01-01 00:05:00", 1, "a", 2.0, "")], "b1")
+    sess = sessionize_events(
+        spark, src, max_files_per_trigger=1, event_time_timeout=True,
+        watermark="10 minutes",
+    )
+    q = (
+        sess.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # nothing closed yet: watermark is only at 00:05 − 10 min
+        assert spark.read.schema(out_sch).parquet(sink).count() == 0
+        drop([(3, "2026-01-01 03:00:00", 2, "a", 5.0, "")], "b2")
+        q.processAllAvailable()
+        deadline = time.time() + 30
+        rows = []
+        while time.time() < deadline and not rows:
+            rows = spark.read.schema(out_sch).parquet(sink).collect()
+            rows or time.sleep(0.5)
+    finally:
+        q.stop()
+    assert len(rows) == 1, rows
+    r = rows[0]
+    assert r["user_id"] == 1 and r["n_events"] == 2
+    assert r["sum_value"] == 3.0
+    assert str(r["session_start"]).startswith("2026-01-01 00:00:00")
+    assert str(r["session_end"]).startswith("2026-01-01 00:05:00")

@@ -217,7 +217,10 @@ def _centroids(
 
 
 def lloyd_refine(
-    base: DataFrame, cents: DataFrame, iterations: int = 1
+    base: DataFrame,
+    cents: DataFrame,
+    iterations: int = 1,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Pure-Catalyst Lloyd iteration(s) for the IVF coarse quantizer:
     assign every vector to its nearest centroid, then replace each
@@ -228,15 +231,22 @@ def lloyd_refine(
     pass + one shuffle on (cid, pos) — linear in corpus size, so a
     production offline training run at 10⁹ vectors is a handful of
     such passes. ``base`` must carry (id, v) as produced by the
-    ann_ivf_topk projection."""
+    ann_ivf_topk projection. ``round_dp``: round each refined mean to
+    that many decimals — set (to 6) in the oracle-checked driver query
+    so the DuckDB twin's sequential summation and Spark's partial-
+    aggregate summation cannot diverge in the last float bit; None
+    keeps exact means."""
     for _ in range(iterations):
         assigned = _assign_cells(base, cents, 1)
+        mean = F.avg("x")
+        if round_dp is not None:
+            mean = F.round(mean, round_dp)
         cents = (
             assigned.select(
                 "cid", F.posexplode("v").alias("pos", "x")
             )
             .groupBy("cid", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(mean.alias("m"))
             .groupBy("cid")
             .agg(
                 F.array_sort(
@@ -275,6 +285,7 @@ def ann_ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     lloyd_iters: int = 0,
+    lloyd_round_dp: int | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: corpus vectors are bucketed into
     the cell of their nearest centroid (inverted file); each query
@@ -289,9 +300,11 @@ def ann_ivf_topk(
     cents = _centroids(embeddings, id_col, vec_col)
     if lloyd_iters:
         # optional quantizer refinement (cells tighten → better recall
-        # at the same nprobe); kept off in the driver query so the
-        # DuckDB oracle stays a one-expression twin
-        cents = lloyd_refine(base, cents, lloyd_iters).cache()
+        # at the same nprobe); the knn_ann_ivf_lloyd driver query runs
+        # one iteration with rounded means against a full SQL twin
+        cents = lloyd_refine(
+            base, cents, lloyd_iters, round_dp=lloyd_round_dp
+        ).cache()
     corpus_cells = _assign_cells(base, cents, 1).select(
         F.col("id").alias("neighbor_id"), F.col("v").alias("nv"), "cid"
     )

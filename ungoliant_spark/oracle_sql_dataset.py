@@ -373,6 +373,74 @@ FROM final_ranked WHERE rank <= {k}
 """
 
 
+def oracle_knn_ann_ivf_lloyd(
+    n_query: int = 20,
+    k: int = 5,
+    n_cells: int = 32,
+    nprobe: int = 4,
+    dim: int = 64,
+) -> str:
+    """SQL twin of ann_ivf_topk(lloyd_iters=1, lloyd_round_dp=6):
+    seed centroids as in oracle_knn_ann_ivf, assign every vector to
+    its nearest seed (rounded cosine, ties → lowest cid), replace each
+    non-empty cell's centroid with its per-dimension mean rounded to
+    6 dp, then run the standard IVF probe over the refined cells."""
+    csim0 = _COS.format(a="v.e", b="c.e")
+    csim = _COS.format(a="v.e", b="c.e")
+    sim = _COS.format(a="vq.e", b="vc.e")
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), cents0 AS (
+  SELECT vec_id AS cid, e FROM v
+  ORDER BY (CAST(vec_id AS BIGINT) * 2654435761) % 4294967296, vec_id
+  LIMIT {n_cells}
+), assign0 AS (
+  SELECT v.vec_id AS id, c.cid,
+    row_number() OVER (
+      PARTITION BY v.vec_id
+      ORDER BY {csim0} DESC, c.cid ASC) AS crank
+  FROM v, cents0 c
+), cells0 AS (
+  SELECT id, cid FROM assign0 WHERE crank = 1
+), means AS (
+  SELECT c0.cid, t.pos, round(avg(v.e[t.pos]), 6) AS m
+  FROM cells0 c0
+  JOIN v ON v.vec_id = c0.id
+  CROSS JOIN range(1, {dim} + 1) t(pos)
+  GROUP BY c0.cid, t.pos
+), cents AS (
+  SELECT cid, list(m ORDER BY pos) AS e FROM means GROUP BY cid
+), ranked_cells AS (
+  SELECT v.vec_id AS id, c.cid,
+    row_number() OVER (
+      PARTITION BY v.vec_id
+      ORDER BY {csim} DESC, c.cid ASC) AS crank
+  FROM v, cents c
+), corpus_cells AS (
+  SELECT id AS neighbor_id, cid FROM ranked_cells WHERE crank = 1
+), query_cells AS (
+  SELECT id AS query_id, cid FROM ranked_cells
+  WHERE crank <= {nprobe} AND id < {n_query}
+), cand AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM query_cells q JOIN corpus_cells c USING (cid)
+  WHERE query_id <> neighbor_id
+), s AS (
+  SELECT query_id, neighbor_id, {sim} AS sim
+  FROM cand
+  JOIN v vq ON vq.vec_id = query_id
+  JOIN v vc ON vc.vec_id = neighbor_id
+), final_ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, sim
+FROM final_ranked WHERE rank <= {k}
+"""
+
+
 def oracle_text_stats() -> str:
     hits_total = " + ".join(_stop_hits(lg) for lg in STOPWORDS)
     guess = "NULL"

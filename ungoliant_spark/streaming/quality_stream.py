@@ -132,10 +132,12 @@ def _sessionize_group(
     key: tuple,
     pdfs: Iterable[pd.DataFrame],
     state: GroupState,
+    set_event_timeout: bool = False,
 ):
     """Emit closed sessions; keep the open one in state. Sessions
-    close when a 30-minute event gap is observed (or on state
-    timeout)."""
+    close when a 30-minute event gap is observed (or, with
+    ``set_event_timeout``, when the event-time watermark passes the
+    open session's end + gap — the production idle-close path)."""
     (user_id,) = key
     if state.hasTimedOut:
         if state.exists:
@@ -182,6 +184,16 @@ def _sessionize_group(
             n += 1
             s += float(value)
     state.update((start_us, end_us, n, s))
+    if set_event_timeout:
+        # close the open session once event time (the watermark)
+        # passes its end + gap. The timeout timestamp must be beyond
+        # the current watermark or Spark rejects it — a group whose
+        # last event is already watermark-stale times out at the next
+        # possible instant instead.
+        timeout_ms = end_us // 1000 + SESSION_GAP_US // 1000
+        state.setTimeoutTimestamp(
+            max(timeout_ms, state.getCurrentWatermarkMs() + 1)
+        )
     if closed:
         yield pd.DataFrame(
             [
@@ -201,8 +213,25 @@ def sessionize_events(
     spark: SparkSession,
     events_dir: str,
     max_files_per_trigger: int = 4,
+    event_time_timeout: bool = False,
+    watermark: str = "10 minutes",
 ) -> DataFrame:
-    """Custom stateful sessionization stream (un-started)."""
+    """Custom stateful sessionization stream (un-started).
+
+    Two closing modes:
+
+    * default (NoTimeout): sessions close only on an observed 30-min
+      gap; the final open session stays in state. Right for bounded
+      replays (the driver query force-closes trailing sessions with a
+      sentinel flush event) and for tests, where a timer-driven
+      variant would make processAllAvailable spin forever.
+    * ``event_time_timeout=True`` (production): the stream is
+      watermarked on ``ts`` and each open session arms an
+      EventTimeTimeout at session_end + gap — idle sessions are
+      emitted as event time advances, with no sentinel traffic and no
+      unbounded state for users that never return. Late events beyond
+      ``watermark`` may land after their session closed (standard
+      watermark semantics)."""
     src = (
         spark.readStream.schema(
             "event_id long, ts timestamp, user_id long, "
@@ -211,10 +240,20 @@ def sessionize_events(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(events_dir)
     )
-    # NoTimeout: sessions close only on an observed 30-min gap; the
-    # final open session stays in state (a ProcessingTimeTimeout
-    # variant keeps scheduling timer micro-batches, which makes
-    # processAllAvailable spin forever in tests)
+    if event_time_timeout:
+        return (
+            src.withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                lambda key, pdfs, state: _sessionize_group(
+                    key, pdfs, state, set_event_timeout=True
+                ),
+                outputStructType=SESSION_SCHEMA,
+                stateStructType=_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
     return src.groupBy("user_id").applyInPandasWithState(
         _sessionize_group,
         outputStructType=SESSION_SCHEMA,
