@@ -61,25 +61,41 @@ MODEL_RESULT_T = T.StructType(
 
 
 def make_model_stage_udf(arpa_dir: str | None = None):
+    """The UDF consumes ONE STRING per row (the trimmed lines joined
+    with '\\n'; NULL for heuristic drops), not ``array<string>``:
+    Arrow list<string> transport plus the per-element pandas
+    materialization was the dominant non-kernel cost of the node
+    (round-3 verdict item 1b) — a flat string column ships one buffer
+    pair and splits back into lines with one C-level ``str.split``.
+    Faithful because trimmed lines cannot contain '\\n' (they are the
+    output of line-splitting the transcript) and a zero-line doc maps
+    to NULL, which the model treats exactly like the empty line array
+    (no predictions → lang None). Equality with the modular
+    array-input path is gated by test_fused_matches_modular and the
+    clips_kept/clips_decisions driver oracles."""
     arpa_dir = arpa_dir or ARPA_DIR
 
     @pandas_udf(MODEL_RESULT_T)
-    def model_stage_udf(lines_series: pd.Series) -> pd.DataFrame:
+    def model_stage_udf(text_series: pd.Series) -> pd.DataFrame:
         model = _get_model()
         raw_docs: list[list[str]] = [
-            list(lines) if lines is not None else [] for lines in lines_series
+            s.split("\n") if s is not None else [] for s in text_series
         ]
         stripped: list[list[str]] = [
-            [ln.replace("\x00", "") for ln in doc] for doc in raw_docs
+            [ln.replace("\x00", "") for ln in doc] if "\x00" in s else doc
+            for s, doc in zip(
+                ("" if s is None else s for s in text_series), raw_docs
+            )
         ]
         flat = [ln for doc in stripped for ln in doc]
         flat_preds = model.predict_batch(flat, threshold=LID_LINE_THRESHOLD)
         langs, probs, slangs, multis = [], [], [], []
         pos = 0
-        # content joins the ORIGINAL (unstripped) trimmed lines — the
-        # reference hashes/scores the document body as-is, \0 included
+        # content is the ORIGINAL (unstripped) joined body — the
+        # reference hashes/scores the document as-is, \0 included; the
+        # input string IS that join, so no re-join happens here
         contents: list[str | None] = []
-        for raw, doc in zip(raw_docs, stripped):
+        for s, doc in zip(text_series, stripped):
             preds = flat_preds[pos : pos + len(doc)]
             pos += len(doc)
             lang, prob, sl, multi = _doc_from_preds(doc, preds)
@@ -92,7 +108,7 @@ def make_model_stage_udf(arpa_dir: str | None = None):
                 ]
             )
             multis.append(multi)
-            contents.append("\n".join(raw) if lang is not None else None)
+            contents.append(s if lang is not None else None)
         # TLSH + perplexity only for rows that survived the doc vote
         # (heuristic drops arrive with an empty lines array → lang None)
         tlsh = tlsh_hash_batch(

@@ -169,14 +169,18 @@ def run(
         F.col("trim_keep") & F.col("pfilter_keep") & F.col("annotation_keep")
     )
     df = df.withColumn("heuristic_keep", heur_keep)
-    # heuristic drops reach the model node with a NULLED input (empty
-    # lines → O(1) in the UDF) instead of being filtered out before
-    # it: a filter below the Python node gets pushed to the scan and
-    # re-evaluates the whole interpreted higher-order heuristic chain
-    # per row — A/B measured at sf0.1/local[32]: pre-filter 35-118 s
-    # vs nulled-input 15-54 s across contention windows.
-    model_in = F.when(F.col("heuristic_keep"), F.col("lines")).otherwise(
-        F.array().cast("array<string>")
+    # heuristic drops reach the model node with a NULLED input (O(1)
+    # in the UDF) instead of being filtered out before it: a filter
+    # below the Python node gets pushed to the scan and re-evaluates
+    # the whole interpreted higher-order heuristic chain per row —
+    # A/B measured at sf0.1/local[32]: pre-filter 35-118 s vs
+    # nulled-input 15-54 s across contention windows. Survivors ship
+    # as ONE joined string (see make_model_stage_udf: flat Arrow
+    # buffer beats list<string> transport); zero-line survivors also
+    # map to NULL, which the model scores identically (lang None).
+    model_in = F.when(
+        F.col("heuristic_keep") & (F.size("lines") > 0),
+        F.array_join(F.col("lines"), "\n"),
     )
     df = df.withColumn("_m", make_model_stage_udf(arpa_dir)(model_in))
     df = (
