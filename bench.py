@@ -63,6 +63,12 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # the dedup pair generators persist their group tables for the
+        # duration of the query; release them so disk-backed blocks
+        # don't accumulate across the session (operators/dedup.py)
+        from ungoliant_spark.operators.dedup import unpersist_group_tables
+
+        unpersist_group_tables()
 
     # clips pipeline leg: full run through a real partitioned sink
     from ungoliant_spark.plans.pipeline import run as pipeline_run

@@ -145,3 +145,31 @@ def test_unpersist_group_tables_releases(spark, docs):
     dd.jaccard_pairs(docs).count()
     assert dd.unpersist_group_tables() >= 1
     assert dd.unpersist_group_tables() == 0
+
+
+def test_mega_cluster_crawl_scale_completes(spark):
+    """The adversarial shape the guard exists for, at a scale where
+    the naive path is infeasible: 30k identical + 30k empty docs. The
+    naive pair set is ~9×10^8 rows; with cap=100 the run must finish
+    in seconds with member buffers ≤ cap and emit exactly the
+    rep-routed pairs (zero here — the two clusters are not near-dups
+    of each other)."""
+    n = 30_000
+    ids = spark.range(n)
+    docs = (
+        ids.select(
+            F.col("id").alias("doc_id"),
+            F.when(
+                F.col("id") < n // 2,
+                F.lit("the same exact boilerplate body repeated verbatim"),
+            ).otherwise(F.lit("")).alias("text"),
+        )
+    )
+    pairs = dd.simhash_pairs(docs, max_cluster_size=100)
+    assert pairs.count() == 0  # both clusters over cap; reps differ
+    dd.unpersist_group_tables()
+    # the rep-mapping deliverable handles the same corpus with no
+    # member lists at all
+    reps = dd.exact_dedup_reps(docs)
+    agg = reps.groupBy("rep_id").count().collect()
+    assert sorted(r["count"] for r in agg) == [n // 2, n // 2]
