@@ -173,3 +173,27 @@ def test_mega_cluster_crawl_scale_completes(spark):
     reps = dd.exact_dedup_reps(docs)
     agg = reps.groupBy("rep_id").count().collect()
     assert sorted(r["count"] for r in agg) == [n // 2, n // 2]
+
+
+def test_near_dup_components(spark):
+    """Min-label propagation over pair edges: a 4-node path graph
+    (needs >1 round to converge — labels travel one hop per round),
+    a 2-clique, and singletons; every node maps to its component's
+    min id, and a too-small max_iterations raises instead of
+    returning wrong labels."""
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(9)], "doc_id long"
+    )
+    # path 3-5-6-8 (edges deliberately not touching the min directly),
+    # clique {1,2}, singletons 0,4,7
+    pairs = spark.createDataFrame(
+        [(5, 3), (5, 6), (6, 8), (1, 2)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["component_rep"]
+        for r in dd.near_dup_components(nodes, pairs).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 1, 3: 3, 5: 3, 6: 3, 8: 3, 4: 4, 7: 7}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        # label 3 needs 2+ rounds to reach node 8
+        dd.near_dup_components(nodes, pairs, max_iterations=1)

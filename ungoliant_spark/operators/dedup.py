@@ -715,3 +715,78 @@ def simhash63_table(
     return df.select(id_col).join(hashed, id_col, "left").select(
         id_col, F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash")
     )
+
+
+def near_dup_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(id, component_rep): connected components over near-dup PAIR
+    edges — the cluster-level production deliverable (keep one doc per
+    component; :func:`exact_dedup_reps` is the exact-dup special
+    case). ``pairs`` is any (id_a, id_b) edge set, e.g. the output of
+    :func:`simhash_pairs` / :func:`jaccard_pairs`.
+
+    Algorithm: min-label propagation, pure DataFrame ops. Every node
+    starts labeled with its own id; each round, a node's label drops
+    to the minimum label among itself and its neighbors (one
+    edges-both-directions join + one groupBy-min — two shuffles per
+    round, both map-side combinable). Converged when no label
+    changes; rounds needed = graph diameter, and near-dup components
+    are dense (band-join output is clique-like), so real corpora
+    converge in 2-4 rounds — the driver-side loop with one scalar
+    action per round is the standard Spark shape for iterative graph
+    algorithms (GraphX/GraphFrames CC does the same under the hood).
+    Each round localCheckpoints the label table: without it the plan
+    doubles per iteration and task deserialization dominates.
+
+    Raises if not converged within ``max_iterations`` (pathological
+    path-graphs only) rather than returning silently-wrong labels."""
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).persist()
+    try:
+        for _ in range(max_iterations):
+            both = edges.unionByName(
+                edges.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+            msgs = (
+                both.join(labels, both.src == labels.id)
+                .groupBy("dst")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            new_labels = (
+                labels.join(msgs, labels.id == msgs.dst, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                    ).alias("label"),
+                )
+            ).localCheckpoint()
+            changed = (
+                new_labels.join(labels.withColumnRenamed("label", "old"), "id")
+                .filter(F.col("label") != F.col("old"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                return labels.select(
+                    F.col("id").alias(id_col),
+                    F.col("label").alias("component_rep"),
+                )
+        raise RuntimeError(
+            f"near_dup_components did not converge in {max_iterations} "
+            "iterations — graph diameter exceeds the bound; raise "
+            "max_iterations"
+        )
+    finally:
+        edges.unpersist()

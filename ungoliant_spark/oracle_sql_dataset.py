@@ -187,6 +187,28 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
     )
 
 
+def oracle_dedup_components() -> str:
+    """SQL twin of dedup.near_dup_components over the simhash pair
+    edges: recursive transitive closure (WITH RECURSIVE) from every
+    node over bidirectional edges, then min reachable id per node —
+    the label-propagation fixpoint computed a different way."""
+    pairs_sql = oracle_dedup_simhash_pairs()
+    return f"""
+WITH RECURSIVE pairs AS (
+  {pairs_sql}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+)
+SELECT id AS doc_id, min(r) AS component_rep FROM reach GROUP BY id
+"""
+
+
 def oracle_simhash() -> str:
     return f"""
 WITH toked AS (

@@ -31,6 +31,15 @@ def q_dedup_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup_reps(_docs(spark, sf_dir))
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup connected components over simhash Hamming-≤3 pair
+    edges — the cluster-level dedup deliverable (min-label
+    propagation; DuckDB twin recomputes the same fixpoint as a
+    recursive transitive closure)."""
+    docs = _docs(spark, sf_dir)
+    return dd.near_dup_components(docs, dd.simhash_pairs(docs))
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
 
