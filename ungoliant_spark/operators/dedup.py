@@ -744,9 +744,20 @@ def near_dup_components(
 
     Raises if not converged within ``max_iterations`` (pathological
     path-graphs only) rather than returning silently-wrong labels."""
+
+    def _label_sum(lbl: DataFrame):
+        # convergence check: labels are per-node NON-INCREASING each
+        # round, so the total strictly decreases until the fixpoint —
+        # one scalar aggregate per round, no old-vs-new join. Decimal
+        # sum: 10^12 ids × 10^12 each ≈ 10^24 overflows BIGINT.
+        return lbl.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
     ).localCheckpoint()
+    prev_sum = _label_sum(labels)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).persist()
@@ -762,27 +773,35 @@ def near_dup_components(
                 .groupBy("dst")
                 .agg(F.min("label").alias("nbr_label"))
             )
+            prop = labels.join(msgs, labels.id == msgs.dst, "left").select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            # pointer jumping: follow my label's label (labels always
+            # point at a node in the same component with a ≤ id, so
+            # the invariant holds and path lengths square each round
+            # — O(log diameter) rounds instead of O(diameter), which
+            # matters on chain-shaped near-dup graphs)
+            l2 = prop.select(
+                F.col("id").alias("id2"), F.col("label").alias("label2")
+            )
             new_labels = (
-                labels.join(msgs, labels.id == msgs.dst, "left")
+                prop.join(l2, prop.label == F.col("id2"), "left")
                 .select(
                     "id",
-                    F.least(
-                        F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                    ).alias("label"),
+                    F.coalesce("label2", "label").alias("label"),
                 )
             ).localCheckpoint()
-            changed = (
-                new_labels.join(labels.withColumnRenamed("label", "old"), "id")
-                .filter(F.col("label") != F.col("old"))
-                .limit(1)
-                .count()
-            )
+            new_sum = _label_sum(new_labels)
             labels = new_labels
-            if changed == 0:
+            if new_sum == prev_sum:
                 return labels.select(
                     F.col("id").alias(id_col),
                     F.col("label").alias("component_rep"),
                 )
+            prev_sum = new_sum
         raise RuntimeError(
             f"near_dup_components did not converge in {max_iterations} "
             "iterations — graph diameter exceeds the bound; raise "
