@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dsq.q_dedup_exact,
         "dedup_reps": dsq.q_dedup_reps,
         "dedup_components": dsq.q_dedup_components,
+        "dedup_components_rep": dsq.q_dedup_components_rep,
         "dedup_jaccard": dsq.q_dedup_jaccard,
         "dedup_minhash": dsq.q_dedup_minhash,
         "dedup_embedding": dsq.q_dedup_embedding,
@@ -79,6 +80,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": osqld.oracle_dedup_exact(),
         "dedup_reps": osqld.oracle_dedup_reps(),
         "dedup_components": osqld.oracle_dedup_components(),
+        "dedup_components_rep": osqld.oracle_dedup_components(),
         "dedup_jaccard": osqld.oracle_dedup_jaccard(),
         "dedup_minhash": osqld.oracle_dedup_minhash(),
         "dedup_embedding": osqld.oracle_dedup_embedding(0.5),

@@ -197,3 +197,43 @@ def test_near_dup_components(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         # label 3 needs 2+ rounds to reach node 8
         dd.near_dup_components(nodes, pairs, max_iterations=1)
+
+
+def test_simhash_components_equals_pairwise_cc(spark, docs):
+    """The rep-level shortcut must equal components over the doc-level
+    pair list (the expensive composition it replaces)."""
+    via_pairs = {
+        r["doc_id"]: r["component_rep"]
+        for r in dd.near_dup_components(
+            docs, dd.simhash_pairs(docs)
+        ).collect()
+    }
+    via_reps = {
+        r["doc_id"]: r["component_rep"]
+        for r in dd.simhash_components(docs).collect()
+    }
+    dd.unpersist_group_tables()
+    assert via_pairs == via_reps
+
+
+def test_simhash_components_mega_cluster_no_cap_needed(spark):
+    """On the 30k-identical + 30k-empty corpus the rep graph has TWO
+    nodes — no cap, no pair materialization, completes instantly and
+    labels every doc with its cluster's min id."""
+    n = 30_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") < n // 2,
+            F.lit("the same exact boilerplate body repeated verbatim"),
+        ).otherwise(F.lit("")).alias("text"),
+    )
+    comp = dd.simhash_components(docs)
+    agg = {
+        r["component_rep"]: r["count"]
+        for r in comp.groupBy("component_rep").count().collect()
+    }
+    dd.unpersist_group_tables()
+    # two clusters unless their simhash words happen to be within
+    # hamming 3 of each other (they are not: text vs empty)
+    assert agg == {0: n // 2, n // 2: n // 2}

@@ -754,13 +754,21 @@ def near_dup_components(
             F.sum(F.col("label").cast("decimal(38,0)"))
         ).collect()[0][0]
 
-    labels = nodes.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("label")
-    ).localCheckpoint()
-    prev_sum = _label_sum(labels)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).persist()
+    # propagate ONLY over edge-touched nodes: every other node is its
+    # own singleton component and needs no iteration. On a crawl,
+    # near-dup edges touch a small fraction of the corpus, so each
+    # round shuffles |touched| rows, not 10^12 — singletons are filled
+    # in by one left join at the end.
+    touched = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    labels = touched.withColumn("label", F.col("id")).localCheckpoint()
+    prev_sum = _label_sum(labels)
     try:
         for _ in range(max_iterations):
             both = edges.unionByName(
@@ -797,9 +805,17 @@ def near_dup_components(
             new_sum = _label_sum(new_labels)
             labels = new_labels
             if new_sum == prev_sum:
-                return labels.select(
-                    F.col("id").alias(id_col),
-                    F.col("label").alias("component_rep"),
+                return (
+                    nodes.select(F.col(id_col))
+                    .join(
+                        labels.withColumnRenamed("id", id_col), id_col, "left"
+                    )
+                    .select(
+                        id_col,
+                        F.coalesce("label", F.col(id_col)).alias(
+                            "component_rep"
+                        ),
+                    )
                 )
             prev_sum = new_sum
         raise RuntimeError(
@@ -809,3 +825,91 @@ def near_dup_components(
         )
     finally:
         edges.unpersist()
+
+
+def simhash_components(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(id, component_rep) over the SimHash Hamming-≤``max_hamming``
+    near-dup graph WITHOUT ever materializing doc-level pairs — the
+    crawl-scale composition of :func:`simhash_pairs` +
+    :func:`near_dup_components`.
+
+    Feeding the raw pair list to connected components re-inflates the
+    m² intra-cluster edges the pair generators' dup-grouping carefully
+    avoids (a 10^8-dup cluster is 5×10^15 pair rows). Here the graph
+    is built at the REP level instead: docs map to the min-id rep of
+    their simhash value (groupBy-min + join, no collect_list), the
+    banded candidate join runs over DISTINCT simhash values only, and
+    label propagation runs on that rep graph; doc labels follow by one
+    join at the end. Correct because Hamming 0 ⟺ identical simhash:
+    every doc-level edge is either intra-group (doc ↔ its rep's group,
+    captured by the doc→rep mapping) or inherited from a rep-level
+    edge — components of the doc graph are exactly the expansion of
+    components of the rep graph. The driver oracle recomputes the
+    DOC-level graph's components with a recursive CTE, so the
+    equivalence is hash-checked, not assumed."""
+    if max_hamming > len(SIMHASH_BANDS) - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the lossless bound "
+            f"{len(SIMHASH_BANDS) - 1} of {len(SIMHASH_BANDS)}-band "
+            "pigeonhole candidate generation; results would silently "
+            "miss pairs. Add bands (SIMHASH_BANDS) to raise the bound."
+        )
+    sh = simhash63_table(df, id_col, text_col)
+    # persisted: feeds the doc→rep join, the banded self-join (twice)
+    # and the component node set; released by unpersist_group_tables
+    reps = _persist_groups(
+        sh.groupBy("simhash").agg(F.min(id_col).alias("rep"))
+    )
+    doc_rep = sh.join(reps, "simhash").select(id_col, "rep")
+    banded = reps.select(
+        "rep",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright(F.col("simhash"), off)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for bi, (off, width) in enumerate(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bh"),
+    ).select(
+        "rep",
+        "simhash",
+        F.col("bh.band").alias("band"),
+        F.col("bh.chunk").alias("chunk"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    rep_pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.rep") < F.col("b.rep")),
+        )
+        .filter(
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            )
+            <= max_hamming
+        )
+        .select(
+            F.col("a.rep").alias("id_a"), F.col("b.rep").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    rep_nodes = reps.select(F.col("rep"))
+    rep_comp = near_dup_components(
+        rep_nodes, rep_pairs, id_col="rep", max_iterations=max_iterations
+    )
+    return doc_rep.join(rep_comp, "rep").select(id_col, "component_rep")

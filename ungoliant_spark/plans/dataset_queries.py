@@ -40,6 +40,15 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.near_dup_components(docs, dd.simhash_pairs(docs))
 
 
+def q_dedup_components_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-scale composition: components computed on the
+    rep-level simhash graph (no doc-level pair materialization,
+    dd.simhash_components). Shares the DOC-graph recursive-CTE oracle
+    with q_dedup_components — the hash match IS the proof that the
+    rep-level shortcut computes the same components."""
+    return dd.simhash_components(_docs(spark, sf_dir))
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
 
