@@ -86,9 +86,13 @@ def main() -> None:
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
     # the clips queries above (load_clips) shrink the Arrow/reader
     # batches session-wide for sf0.01's multi-MB rows; restore the
-    # pipeline-appropriate sizes so this leg isn't penalized (round-1
-    # driver bench ran the whole leg on 512-row UDF batches)
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+    # pipeline-appropriate sizes so this leg isn't penalized. 8192:
+    # the model stage ships only the joined transcript string (~KB)
+    # per row since round 4, so bigger Arrow batches amortize the
+    # per-batch pandas/IPC overhead — interleaved A/B at sf0.1/
+    # local[32]: 2048→41.6 s, 8192→23.7-30.6 s, 16384→26.7 s medians.
+    # (Paths that ship audio `bytes` through Arrow keep 2048.)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
     spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "1024")
     clips = spark.read.parquet(f"{clips_dir}/clips.parquet")
     n_clips = clips.count()

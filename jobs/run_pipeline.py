@@ -99,7 +99,10 @@ def main(argv: list[str] | None = None) -> int:
     # runtime-settable SQL confs for binary-heavy tables are set here
     # so the job is safe regardless of submit flags
     spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "1024")
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+    # the pipeline's only Python node receives the joined transcript
+    # string (never audio bytes), so large Arrow batches are safe and
+    # ~25% faster (see bench.py A/B)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
     from ungoliant_spark.plans.checkpoint import manifest_files
