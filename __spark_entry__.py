@@ -40,6 +40,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_reps": dsq.q_dedup_reps,
         "dedup_components": dsq.q_dedup_components,
         "dedup_components_rep": dsq.q_dedup_components_rep,
+        "dedup_components_minhash": dsq.q_dedup_components_minhash,
+        "dedup_components_jaccard": dsq.q_dedup_components_jaccard,
         "dedup_jaccard": dsq.q_dedup_jaccard,
         "dedup_minhash": dsq.q_dedup_minhash,
         "dedup_embedding": dsq.q_dedup_embedding,
@@ -81,6 +83,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_reps": osqld.oracle_dedup_reps(),
         "dedup_components": osqld.oracle_dedup_components(),
         "dedup_components_rep": osqld.oracle_dedup_components(),
+        "dedup_components_minhash": osqld.oracle_dedup_components_minhash(),
+        "dedup_components_jaccard": osqld.oracle_dedup_components_jaccard(),
         "dedup_jaccard": osqld.oracle_dedup_jaccard(),
         "dedup_minhash": osqld.oracle_dedup_minhash(),
         "dedup_embedding": osqld.oracle_dedup_embedding(0.5),

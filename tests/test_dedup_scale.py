@@ -65,6 +65,7 @@ def test_jaccard_cap_exact_output(spark, docs, caplog):
     the exact 6-row output is deterministic."""
     with caplog.at_level(logging.WARNING, logger="ungoliant_spark.operators.dedup"):
         pairs = dd.jaccard_pairs(docs, max_cluster_size=CAP).toPandas()
+        dd.await_cap_logs()  # suppression counts log async on first action
     dd.unpersist_group_tables()
     assert "capped" in caplog.text and "2 clusters" in caplog.text
     got = {(int(r.id_a), int(r.id_b)) for r in pairs.itertuples()}
@@ -214,6 +215,136 @@ def test_simhash_components_equals_pairwise_cc(spark, docs):
     }
     dd.unpersist_group_tables()
     assert via_pairs == via_reps
+
+
+def test_capped_build_triggers_no_spark_jobs(spark, docs):
+    """Round-4 verdict item 5: building a guarded pairs DataFrame must
+    not run any Spark job (the suppression accounting is an observed
+    metric collected on first materialization, not an eager scalar
+    aggregate at plan-construction time)."""
+    sc = spark.sparkContext
+    sc.setJobGroup("dedup-cap-build", "plan construction only")
+    try:
+        pairs = dd.jaccard_pairs(docs, max_cluster_size=CAP)
+        pairs2 = dd.minhash_lsh_pairs(docs, max_cluster_size=CAP)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(sc.statusTracker().getJobIdsForGroup("dedup-cap-build")) == []
+    # the plans still materialize correctly afterwards
+    assert pairs.count() > 0 and pairs2.count() > 0
+    dd.await_cap_logs()
+    dd.unpersist_group_tables()
+
+
+def test_group_cache_scope_releases_blocks(spark, docs):
+    """Round-4 verdict item 6: after materializing pairs inside a
+    group_cache_scope and exiting, no group-table RDD blocks remain
+    persisted (leak-free default for long-lived sessions)."""
+    dd.unpersist_group_tables()  # clean slate
+
+    def persisted_ids():
+        return {
+            int(k)
+            for k in spark.sparkContext._jsc.getPersistentRDDs().keySet()
+        }
+
+    before = persisted_ids()
+    with dd.group_cache_scope():
+        dd.jaccard_pairs(docs).count()
+        assert len(dd._PERSISTED_GROUPS) >= 1
+    assert dd._PERSISTED_GROUPS == []
+    assert persisted_ids() <= before  # nothing new left behind
+    # nested scopes release only their own tail
+    with dd.group_cache_scope():
+        dd.jaccard_pairs(docs).count()
+        outer_n = len(dd._PERSISTED_GROUPS)
+        with dd.group_cache_scope():
+            dd.minhash_lsh_pairs(docs).count()
+            assert len(dd._PERSISTED_GROUPS) > outer_n
+        assert len(dd._PERSISTED_GROUPS) == outer_n
+    assert dd._PERSISTED_GROUPS == []
+
+
+def test_minhash_jaccard_components_equal_pairwise_cc(spark, docs):
+    """Round-4 verdict item 1: the pairless rep-level compositions for
+    MinHash and Jaccard must equal components over their doc-level
+    pair lists (the expensive composition they replace)."""
+    for pair_fn, comp_fn in [
+        (dd.minhash_lsh_pairs, dd.minhash_components),
+        (dd.jaccard_pairs, dd.jaccard_components),
+    ]:
+        via_pairs = {
+            r["doc_id"]: r["component_rep"]
+            for r in dd.near_dup_components(
+                docs, pair_fn(docs, threshold=0.5)
+            ).collect()
+        }
+        via_reps = {
+            r["doc_id"]: r["component_rep"]
+            for r in comp_fn(docs, threshold=0.5).collect()
+        }
+        dd.unpersist_group_tables()
+        assert via_pairs == via_reps, pair_fn.__name__
+
+
+def test_components_reject_bad_threshold(spark, docs):
+    for fn in (dd.minhash_components, dd.jaccard_components):
+        with pytest.raises(ValueError, match="threshold"):
+            fn(docs, threshold=1.2)
+        with pytest.raises(ValueError, match="threshold"):
+            fn(docs, threshold=0.0)
+
+
+def test_components_no_doc_level_pairs_in_plan(spark, docs):
+    """The rep-level compositions must not build doc-level pair lists
+    or member arrays: no collect_list in any analyzed plan, and the
+    only explode nodes are the shingle/band explodes (which are
+    per-doc-bounded), never an ids-array expansion."""
+    for comp_fn in (dd.minhash_components, dd.jaccard_components,
+                    dd.simhash_components):
+        out = comp_fn(docs)
+        plan = out._jdf.queryExecution().analyzed().toString()
+        assert "collect_list" not in plan, (comp_fn.__name__, plan)
+        assert "ids_a" not in plan and "ids_b" not in plan, comp_fn.__name__
+    dd.unpersist_group_tables()
+
+
+def test_components_string_ids(spark):
+    """near_dup_components (and the rep compositions) must work with
+    STRING ids — min-label propagation is lexicographic and the
+    changed-label convergence check never casts (ADVICE r4: the old
+    decimal-sum check crashed under ANSI and silently converged after
+    one round under non-ANSI). The path graph needs >1 round, so a
+    silent one-round convergence would return wrong labels here."""
+    nodes = spark.createDataFrame(
+        [(f"clip-{i}",) for i in range(9)], "doc_id string"
+    )
+    pairs = spark.createDataFrame(
+        [("clip-5", "clip-3"), ("clip-5", "clip-6"), ("clip-6", "clip-8"),
+         ("clip-1", "clip-2")],
+        "id_a string, id_b string",
+    )
+    got = {
+        r["doc_id"]: r["component_rep"]
+        for r in dd.near_dup_components(nodes, pairs).collect()
+    }
+    assert got == {
+        "clip-0": "clip-0", "clip-1": "clip-1", "clip-2": "clip-1",
+        "clip-3": "clip-3", "clip-5": "clip-3", "clip-6": "clip-3",
+        "clip-8": "clip-3", "clip-4": "clip-4", "clip-7": "clip-7",
+    }
+    # end-to-end rep composition on string ids (the pipeline's clip_id)
+    docs = spark.createDataFrame(
+        [("c-1", "alpha beta gamma delta"), ("c-2", "alpha beta gamma delta"),
+         ("c-3", "totally different words here")],
+        "doc_id string, text string",
+    )
+    comp = {
+        r["doc_id"]: r["component_rep"]
+        for r in dd.simhash_components(docs).collect()
+    }
+    dd.unpersist_group_tables()
+    assert comp == {"c-1": "c-1", "c-2": "c-1", "c-3": "c-3"}
 
 
 def test_simhash_components_mega_cluster_no_cap_needed(spark):

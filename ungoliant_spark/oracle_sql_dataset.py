@@ -187,12 +187,13 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
     )
 
 
-def oracle_dedup_components() -> str:
-    """SQL twin of dedup.near_dup_components over the simhash pair
-    edges: recursive transitive closure (WITH RECURSIVE) from every
-    node over bidirectional edges, then min reachable id per node —
-    the label-propagation fixpoint computed a different way."""
-    pairs_sql = oracle_dedup_simhash_pairs()
+def _components_closure(pairs_sql: str) -> str:
+    """Wrap a doc-level (id_a, id_b[, score]) pair query in a
+    recursive transitive closure (WITH RECURSIVE) from every node
+    over bidirectional edges, then min reachable id per node — the
+    label-propagation fixpoint computed a completely different way
+    (recursion in SQL checks the fixpoint's defining property, not
+    the algorithm)."""
     return f"""
 WITH RECURSIVE pairs AS (
   {pairs_sql}
@@ -207,6 +208,26 @@ WITH RECURSIVE pairs AS (
 )
 SELECT id AS doc_id, min(r) AS component_rep FROM reach GROUP BY id
 """
+
+
+def oracle_dedup_components() -> str:
+    """SQL twin of dedup.near_dup_components over the simhash pair
+    edges — see _components_closure."""
+    return _components_closure(oracle_dedup_simhash_pairs())
+
+
+def oracle_dedup_components_minhash() -> str:
+    """DOC-level-graph twin of dedup.minhash_components: transitive
+    closure over the naive banded MinHash pair set. The engine never
+    materializes those doc pairs (rep-level graph only), so the hash
+    match proves the rep composition clusters identically."""
+    return _components_closure(oracle_dedup_minhash())
+
+
+def oracle_dedup_components_jaccard() -> str:
+    """DOC-level-graph twin of dedup.jaccard_components: transitive
+    closure over the naive all-pairs Jaccard ≥ 0.5 pair set."""
+    return _components_closure(oracle_dedup_jaccard())
 
 
 def oracle_simhash() -> str:
