@@ -4,7 +4,8 @@
         --input  /path/or/catalog.db.clips \
         --output /path/to/output_root \
         --chunks 64 --partitions 256 [--blocklist terms.csv] \
-        [--format snapshot|iceberg]
+        [--format snapshot|iceberg] [--jsonl-out DIR] \
+        [--dedup exact|simhash]
 
 Formats:
 * snapshot (default, works everywhere): the parquet snapshot-manifest
@@ -69,6 +70,28 @@ def chunks_json_path(output: str) -> str:
     return _aux_path(output, "chunks.json")
 
 
+def check_chunk_pin(output: str, committed_any: bool) -> str:
+    """ADVICE r4 resume guard: for catalog-identifier outputs the
+    chunk-plan pin lives in the launching CWD (no durable directory
+    exists), so resuming from a DIFFERENT working directory would
+    silently re-pin a fresh plan — if the input listing changed in
+    between, committed chunk ids would map to different row subsets
+    (duplicated or dropped rows). Committed chunks with no pin file
+    present is exactly that failure — refuse loudly, BEFORE pinning.
+    Returns the pin path for the subsequent load_or_pin call."""
+    pin_path = chunks_json_path(output)
+    if not os.path.exists(pin_path) and committed_any:
+        raise RuntimeError(
+            f"output '{output}' already has committed chunks but no "
+            f"pinned chunk plan exists at {pin_path}. For catalog "
+            "identifiers the pin is CWD-relative: resume from the "
+            "original working directory (or copy its chunks.json "
+            "here). Refusing to re-pin a fresh plan over committed "
+            "chunks — chunk ids could map to different row subsets."
+        )
+    return pin_path
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--input", required=True, help="parquet path or iceberg table")
@@ -81,6 +104,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--jsonl-out", default=None,
                    help="also package kept rows as per-lang gzip JSONL "
                         "(the reference's LangFilesDoc output format)")
+    p.add_argument("--dedup", choices=["exact", "simhash"], default=None,
+                   help="follow-on cross-chunk dedup pass over the "
+                        "committed kept table: writes a clip_id->rep "
+                        "mapping (exact: rep_id+cluster_size of the "
+                        "exact-dup cluster; simhash: component_rep of "
+                        "the Hamming<=3 near-dup graph) computed on "
+                        "the scrubbed transcript")
     args = p.parse_args(argv)
 
     # Under spark-submit the JVM already exists (PYSPARK_GATEWAY_PORT
@@ -141,20 +171,6 @@ def main(argv: list[str] | None = None) -> int:
         )
         from ungoliant_spark.plans.pipeline import run as pipeline_run
 
-        # file-range chunks when the input is a plain parquet scan or
-        # a SnapshotTable manifest (chunk k reads only its file subset
-        # — one scan of the input total); hash-chunk fallback
-        # otherwise. The plan is PINNED to chunks.json and validated
-        # on resume, exactly like the snapshot branch: if input files
-        # were added/removed between the original run and a resume (or
-        # the strategy would silently flip), committed chunk ids would
-        # map to different row subsets, duplicating or dropping rows.
-        chunk_df, chunk_strategy = load_or_pin_chunk_plan(
-            clips, args.chunks, chunks_json_path(args.output),
-            files=in_manifest,
-        )
-        print(f"chunk strategy: {chunk_strategy}")
-
         tables = {
             "kept": f"{args.output}_kept",
             "lineage": f"{args.output}_lineage",
@@ -191,6 +207,23 @@ def main(argv: list[str] | None = None) -> int:
         # read once and maintained in-process; this job is the
         # single writer (same contract as SnapshotTable.append).
         done_per_table = {tbl: committed(tbl) for tbl in tables.values()}
+
+        pin_path = check_chunk_pin(
+            args.output, any(done_per_table.values())
+        )
+
+        # file-range chunks when the input is a plain parquet scan or
+        # a SnapshotTable manifest (chunk k reads only its file subset
+        # — one scan of the input total); hash-chunk fallback
+        # otherwise. The plan is PINNED to chunks.json and validated
+        # on resume, exactly like the snapshot branch: if input files
+        # were added/removed between the original run and a resume (or
+        # the strategy would silently flip), committed chunk ids would
+        # map to different row subsets, duplicating or dropping rows.
+        chunk_df, chunk_strategy = load_or_pin_chunk_plan(
+            clips, args.chunks, pin_path, files=in_manifest,
+        )
+        print(f"chunk strategy: {chunk_strategy}")
 
         def append(df, tbl: str, chunk_id: str) -> None:
             if chunk_id in done_per_table[tbl]:
@@ -236,20 +269,58 @@ def main(argv: list[str] | None = None) -> int:
             finally:
                 kept.unpersist()
             print(f"committed {chunk_id}")
+    def read_kept():
+        if args.format == "snapshot":
+            from ungoliant_spark.plans.checkpoint import CheckpointedRun
+
+            return CheckpointedRun(args.output).kept.read(spark)
+        return spark.read.table(f"{args.output}_kept")
+
     if args.jsonl_out:
         # packaging step (reference: packing kept docs into per-lang
         # gzip JSONL files): read the committed kept table and fan out
         # by language in ONE parallel write
         from ungoliant_spark.sources.jsonl import write_jsonl_by_lang
 
-        if args.format == "snapshot":
-            from ungoliant_spark.plans.checkpoint import CheckpointedRun
-
-            kept_df = CheckpointedRun(args.output).kept.read(spark)
-        else:
-            kept_df = spark.read.table(f"{args.output}_kept")
-        write_jsonl_by_lang(kept_df, args.jsonl_out)
+        write_jsonl_by_lang(read_kept(), args.jsonl_out)
         print(f"packaged jsonl -> {args.jsonl_out}")
+    if args.dedup:
+        # Dedup is CROSS-CHUNK by nature (a dup cluster spans chunks),
+        # so it cannot live inside the resumable chunk loop — it runs
+        # as a follow-on pass over the fully-committed kept table,
+        # the same two-pass shape as --jsonl-out. The mapping is a
+        # pure function of the kept table, so a resumed/re-run job
+        # recomputes and atomically overwrites the same result —
+        # resume safety comes from the kept table's chunk commits,
+        # not from checkpointing this pass. Reference analog: TLSH is
+        # stored per doc for downstream near-dedup
+        # (/root/reference/src/transformers/lsh.rs:10-51) — this is
+        # that downstream, Spark-first. Column pruning keeps the
+        # multi-KB audio `bytes` column out of both passes' scans
+        # (only clip_id + transcript are read).
+        from ungoliant_spark.operators.dedup import (
+            exact_dedup_reps,
+            group_cache_scope,
+            simhash_components,
+        )
+
+        kept_df = read_kept()
+        with group_cache_scope():
+            if args.dedup == "exact":
+                ded = exact_dedup_reps(
+                    kept_df, id_col="clip_id", text_col="transcript"
+                )
+            else:
+                ded = simhash_components(
+                    kept_df, id_col="clip_id", text_col="transcript"
+                )
+            if args.format == "snapshot":
+                dedup_out = os.path.join(args.output, "dedup")
+                ded.write.mode("overwrite").parquet(dedup_out)
+            else:
+                dedup_out = f"{args.output}_dedup"
+                ded.writeTo(dedup_out).createOrReplace()
+        print(f"dedup ({args.dedup}) mapping -> {dedup_out}")
     spark.stop()
     return 0
 

