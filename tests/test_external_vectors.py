@@ -12,19 +12,40 @@ file pins kernels to data that originates OUTSIDE this repo:
   the prime in EITHER implementation fails here against data neither
   implementation produced.
 
-TLSH status: the official TrendMicro/tlsh repository publishes
-expected-output files (Testing/exp/) for its example corpus, but
-those cover the default 128-bucket/1-byte-checksum build; the
-reference uses the 256-bucket/3-byte-checksum variant
+TLSH status — CAPPED (round-4 verdict item 3): the official
+TrendMicro/tlsh repository publishes expected-output files
+(Testing/exp/) for its example corpus, but those cover the default
+128-bucket/1-byte-checksum build; the reference uses the
+256-bucket/3-byte-checksum variant
 (/root/reference/src/transformers/lsh.rs:42-50), whose expected
 outputs ship only as generated artifacts of the official build with
 -DBUCKETS_256 -DCHECKSUM_3B. This sandbox has no network and no tlsh
 package, and transcribing those hex strings from memory would fake
-provenance, so the TLSH external pin remains OPEN; the strongest
-available de-circularization stays the frozen second-implementation
-vectors (tests/data/frozen_tlsh_vectors.json) plus the externally
-published Pearson table (Pearson 1990) both implementations embed as
-data.
+provenance, so a true external pin is unobtainable HERE. What remains
+open, channel by channel:
+
+* Pearson permutation table — CLOSED externally:
+  test_pearson_table_is_the_published_permutation checks the
+  embedded table is exactly the published Pearson (1990)
+  permutation, killing any table transcription error in either
+  implementation.
+* Sliding-window/quartile/header mechanics — covered by the frozen
+  second-implementation vectors (tests/data/frozen_tlsh_vectors.json,
+  generated ONLY by the scalar from-spec reimplementation in
+  tests/independent/, which shares no kernel code with the engine):
+  a single-implementation bug in either side fails the pin. The only
+  residual channel is a CORRELATED misreading of the same spec
+  sentence by both from-scratch implementations.
+* Bucket mapping (b_mapping salt/order) — the residual correlated
+  channel above concentrates here: both implementations derive the
+  mapping from the same published description. A misreading would
+  still yield a self-consistent LSH (same inputs → same buckets), so
+  every dedup/similarity result in this repo remains internally
+  correct; only byte-parity with the official C++ artifact would be
+  affected. Closeable the moment the environment gains network or a
+  vendored Testing/exp file for the 256/3B build — the test below
+  (test_tlsh_official_vectors_when_available) auto-activates on a
+  drop-in vectors file and skips with this explanation until then.
 """
 
 from __future__ import annotations
@@ -82,3 +103,36 @@ def test_pearson_table_is_the_published_permutation():
     assert sorted(_V_TABLE.tolist()) == list(range(256))
     assert _V_TABLE[:8].tolist() == [1, 87, 49, 12, 176, 178, 102, 166]
     assert _V_TABLE[-8:].tolist() == [194, 139, 112, 43, 71, 109, 184, 209]
+
+
+def test_tlsh_official_vectors_when_available():
+    """Auto-activating external pin for the 256-bucket/3-byte-checksum
+    TLSH build: drop a JSON file of official expected outputs at
+    tests/data/tlsh_official_vectors.json —
+    ``[{"input_utf8": "...", "tlsh": "HEX..."}, ...]`` with hashes
+    produced by the official TrendMicro build compiled with
+    -DBUCKETS_256 -DCHECKSUM_3B — and this test pins BOTH in-repo
+    implementations to them. Until such a file exists (no network in
+    this sandbox; transcribing hex from memory would fake
+    provenance), it skips with the channel analysis in the module
+    docstring as the honest status."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "data", "tlsh_official_vectors.json"
+    )
+    if not os.path.exists(path):
+        pytest.skip(
+            "official 256-bucket/3B TLSH vectors unavailable offline; "
+            "see module docstring for the capped channel analysis"
+        )
+    from tests.independent.tlsh_scalar import tlsh_scalar
+    from ungoliant_spark.operators.tlsh_op import tlsh_hash
+
+    vectors = json.load(open(path, encoding="utf-8"))
+    assert vectors, "vectors file present but empty"
+    for v in vectors:
+        data = v["input_utf8"].encode("utf-8")
+        assert tlsh_hash(data) == v["tlsh"].upper()
+        assert tlsh_scalar(data) == v["tlsh"].upper()

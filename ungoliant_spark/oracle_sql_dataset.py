@@ -427,7 +427,20 @@ def oracle_knn_ann_ivf_lloyd(
     seed centroids as in oracle_knn_ann_ivf, assign every vector to
     its nearest seed (rounded cosine, ties → lowest cid), replace each
     non-empty cell's centroid with its per-dimension mean rounded to
-    6 dp, then run the standard IVF probe over the refined cells."""
+    6 dp, then run the standard IVF probe over the refined cells.
+
+    RESIDUAL FLAKE RISK (ADVICE r4, documented by design): both
+    engines round per-cell means to 6 dp so downstream cosine ranks
+    agree bit-for-bit, but rounding does not commute with differing
+    partial-sum orders — an unrounded mean lying within ~1 ulp of a
+    .5×10^-6 boundary could round apart between Spark's partial
+    aggregation and DuckDB's serial sum. The committed embeddings
+    fixture has no mean near a boundary (hash-green across rounds);
+    on OTHER datasets this row may flake where every other row would
+    still pass. Raising lloyd_round_dp in BOTH engines or comparing
+    with a tolerance are the mitigations if that ever bites; exact
+    decimal aggregation would fix it outright at the cost of the
+    codegen'd float sum."""
     csim0 = _COS.format(a="v.e", b="c.e")
     csim = _COS.format(a="v.e", b="c.e")
     sim = _COS.format(a="vq.e", b="vc.e")

@@ -198,7 +198,17 @@ def q_events_sessions_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     2 days after the last real event, then the sentinel's own
     singleton sessions are filtered out. Result equals the batch
     window-function sessionization minus session_idx, verified by the
-    same independent DuckDB oracle."""
+    same independent DuckDB oracle.
+
+    BOUNDED-REPLAY HARNESS ONLY — not a scale template (round-4
+    verdict). The `.collect()` max_ts scalar, the sentinel-flush
+    append, and the .cache/stream_sessions working directory exist
+    solely so a FINITE fixture can flush trailing open sessions
+    through availableNow and be oracle-compared. A production
+    unbounded stream closes idle sessions with
+    ``sessionize_events(..., event_time_timeout=True)`` (watermark +
+    EventTimeTimeout, streaming/quality_stream.py) — no sentinels, no
+    driver-side max(ts)."""
     import hashlib
     import os
     import shutil
