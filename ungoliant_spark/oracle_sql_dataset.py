@@ -310,22 +310,71 @@ WHERE {sim} >= {threshold}
 """
 
 
+def _probe_keys_lists() -> tuple[str, str]:
+    """(corpus_keys, query_probe_keys) SQL list expressions over `e`
+    (DOUBLE[]) — the twins of similarity.lsh_keys(PROBE_TABLES) and
+    similarity.lsh_probe_keys: corpus vectors carry one base-bucket
+    key per table; queries add, per table, the buckets reached by
+    flipping the PROBE_EXTRA lowest-|margin| hyperplane signs in
+    margin order (list_sort over (|dot|, idx) structs — the same
+    field-order comparison Spark's sort_array uses)."""
+    from ungoliant_spark.operators.similarity import (
+        PROBE_EXTRA,
+        PROBE_TABLES,
+    )
+
+    corpus = "[" + ", ".join(
+        f"struct_pack(t := {t}, b := ({_bucket_expr(planes)}))"
+        for t, planes in enumerate(PROBE_TABLES)
+    ) + "]"
+    parts = []
+    for t, planes in enumerate(PROBE_TABLES):
+        dots = [f"list_dot_product(e, {_vec_lit(p)})" for p in planes]
+        base = " + ".join(
+            f"(CASE WHEN {d} > 0 THEN {1 << i} ELSE 0 END)"
+            for i, d in enumerate(dots)
+        )
+        parts.append(f"struct_pack(t := {t}, b := ({base}))")
+        ordered = "list_sort([" + ", ".join(
+            f"struct_pack(m := abs({d}), i := {i})"
+            for i, d in enumerate(dots)
+        ) + "])"
+        pow2 = "[" + ", ".join(
+            str(1 << i) for i in range(len(planes))
+        ) + "]"
+        for j in range(PROBE_EXTRA):
+            parts.append(
+                f"struct_pack(t := {t}, b := xor(({base}),"
+                f" ({pow2})[({ordered})[{j + 1}].i + 1]))"
+            )
+    return corpus, "[" + ", ".join(parts) + "]"
+
+
 def oracle_knn_ann_lsh(n_query: int = 20, k: int = 5) -> str:
-    """SQL twin of similarity.ann_lsh_topk: identical multi-table SRP
-    candidate generation, cosine on survivors, deterministic
-    (sim desc, neighbor asc) ranking."""
+    """SQL twin of similarity.ann_lsh_topk (multi-probe default):
+    identical PROBE_TABLES base keys on the corpus side, identical
+    margin-ordered single-bit-flip probe keys on the query side,
+    cosine on survivors, deterministic (sim desc, neighbor asc)
+    ranking — the driver hash-check verifies the multi-probe
+    candidate generation itself, not just the ranking."""
+    corpus_keys, query_keys = _probe_keys_lists()
     sim = _COS.format(a="vq.e", b="vc.e")
     return f"""
 WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-), keyed AS (
-  SELECT vec_id, unnest({_lsh_keys_list()}) AS k FROM v
-), flat AS (
-  SELECT vec_id, k.t AS t, k.b AS b FROM keyed
+), ckeyed AS (
+  SELECT vec_id, unnest({corpus_keys}) AS k FROM v
+), cflat AS (
+  SELECT vec_id, k.t AS t, k.b AS b FROM ckeyed
+), qkeyed AS (
+  SELECT vec_id, unnest({query_keys}) AS k FROM v
+  WHERE vec_id < {n_query}
+), qflat AS (
+  SELECT vec_id, k.t AS t, k.b AS b FROM qkeyed
 ), cand AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-  FROM flat q JOIN flat c ON q.t = c.t AND q.b = c.b
-  WHERE q.vec_id < {n_query} AND q.vec_id <> c.vec_id
+  FROM qflat q JOIN cflat c ON q.t = c.t AND q.b = c.b
+  WHERE q.vec_id <> c.vec_id
 ), s AS (
   SELECT query_id, neighbor_id, {sim} AS sim
   FROM cand

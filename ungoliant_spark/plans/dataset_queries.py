@@ -101,8 +101,11 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN — rows-only check (approximation by design);
-    recall vs the exact baseline is asserted in tests."""
+    """Multi-probe LSH ANN (margin-ordered single-bit flips,
+    similarity.ann_lsh_topk default). The DuckDB oracle replicates
+    the exact probe-key generation, so the hash check verifies the
+    multi-probe algorithm itself; recall vs the exact baseline is
+    asserted in tests."""
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < N_QUERY_VECS)
     return sim.ann_lsh_topk(embs, queries, k=TOPK)
