@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline ops
         "dedup_exact": dsq.q_dedup_exact,
         "dedup_reps": dsq.q_dedup_reps,
+        "dedup_stats": dsq.q_dedup_stats,
         "dedup_components": dsq.q_dedup_components,
         "dedup_components_rep": dsq.q_dedup_components_rep,
         "dedup_components_minhash": dsq.q_dedup_components_minhash,
@@ -81,6 +82,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_trim": osql.oracle_conv_trim(),
         "dedup_exact": osqld.oracle_dedup_exact(),
         "dedup_reps": osqld.oracle_dedup_reps(),
+        "dedup_stats": osqld.oracle_dedup_stats(),
         "dedup_components": osqld.oracle_dedup_components(),
         "dedup_components_rep": osqld.oracle_dedup_components(),
         "dedup_components_minhash": osqld.oracle_dedup_components_minhash(),

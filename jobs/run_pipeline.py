@@ -104,13 +104,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--jsonl-out", default=None,
                    help="also package kept rows as per-lang gzip JSONL "
                         "(the reference's LangFilesDoc output format)")
-    p.add_argument("--dedup", choices=["exact", "simhash"], default=None,
+    p.add_argument("--dedup", choices=["exact", "simhash", "minhash"],
+                   default=None,
                    help="follow-on cross-chunk dedup pass over the "
                         "committed kept table: writes a clip_id->rep "
                         "mapping (exact: rep_id+cluster_size of the "
                         "exact-dup cluster; simhash: component_rep of "
-                        "the Hamming<=3 near-dup graph) computed on "
-                        "the scrubbed transcript")
+                        "the Hamming<=3 near-dup graph; minhash: "
+                        "component_rep of the Jaccard>=0.5 MinHash-LSH "
+                        "graph) computed on the scrubbed transcript")
     args = p.parse_args(argv)
 
     # Under spark-submit the JVM already exists (PYSPARK_GATEWAY_PORT
@@ -301,6 +303,7 @@ def main(argv: list[str] | None = None) -> int:
         from ungoliant_spark.operators.dedup import (
             exact_dedup_reps,
             group_cache_scope,
+            minhash_components,
             simhash_components,
         )
 
@@ -308,6 +311,10 @@ def main(argv: list[str] | None = None) -> int:
         with group_cache_scope():
             if args.dedup == "exact":
                 ded = exact_dedup_reps(
+                    kept_df, id_col="clip_id", text_col="transcript"
+                )
+            elif args.dedup == "minhash":
+                ded = minhash_components(
                     kept_df, id_col="clip_id", text_col="transcript"
                 )
             else:

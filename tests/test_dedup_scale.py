@@ -217,6 +217,22 @@ def test_simhash_components_equals_pairwise_cc(spark, docs):
     assert via_pairs == via_reps
 
 
+def test_dedup_cluster_stats_histogram(spark, docs):
+    """log2 cluster-size histogram on the known fixture: clusters of
+    50 (A), 3 (B), 40 (C) → bucket 5 holds A+C (min 40, max 50, 90
+    docs), bucket 1 holds B. No joins, partial-agg only."""
+    got = {
+        r["bucket"]: r for r in dd.dedup_cluster_stats(docs).collect()
+    }
+    assert set(got) == {1, 5}
+    assert (got[5]["min_size"], got[5]["max_size"]) == (40, 50)
+    assert (got[5]["n_clusters"], got[5]["n_docs"]) == (2, 90)
+    assert (got[1]["n_clusters"], got[1]["n_docs"]) == (1, 3)
+    plan = dd.dedup_cluster_stats(docs)._jdf.queryExecution()\
+        .executedPlan().toString()
+    assert "Join" not in plan and "partial_count" in plan, plan
+
+
 def test_capped_build_triggers_no_spark_jobs(spark, docs):
     """Round-4 verdict item 5: building a guarded pairs DataFrame must
     not run any Spark job (the suppression accounting is an observed

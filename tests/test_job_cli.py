@@ -207,20 +207,21 @@ def test_cli_dedup_follow_on_pass(spark, tmp_path):
     }
     assert all(v >= 1 for v in sizes.values())
 
-    # simhash variant on resume: no new chunks, components written
-    stdout = _run_cli(["--input", clips, "--output", out, "--chunks", "2",
-                       "--dedup", "simhash"])
-    assert "committed 0 new chunks" in stdout
-    assert "dedup (simhash) mapping" in stdout
-    comp = spark.read.parquet(os.path.join(out, "dedup"))
-    assert set(comp.columns) == {"clip_id", "component_rep"}
-    assert comp.count() == n_kept
-    # exact dups are Hamming-0 near-dups: every exact cluster is
-    # inside one component
-    joined = kept.join(comp, "clip_id").groupBy(
-        F.lower(F.trim("transcript")).alias("t")
-    ).agg(F.count_distinct("component_rep").alias("comps"))
-    assert joined.filter(F.col("comps") != 1).count() == 0
+    # component variants on resume: no new chunks, components written;
+    # exact dups are both Hamming-0 and Jaccard-1 near-dups, so every
+    # exact cluster sits inside one component for either family
+    for variant in ("simhash", "minhash"):
+        stdout = _run_cli(["--input", clips, "--output", out,
+                           "--chunks", "2", "--dedup", variant])
+        assert "committed 0 new chunks" in stdout
+        assert f"dedup ({variant}) mapping" in stdout
+        comp = spark.read.parquet(os.path.join(out, "dedup"))
+        assert set(comp.columns) == {"clip_id", "component_rep"}
+        assert comp.count() == n_kept
+        joined = kept.join(comp, "clip_id").groupBy(
+            F.lower(F.trim("transcript")).alias("t")
+        ).agg(F.count_distinct("component_rep").alias("comps"))
+        assert joined.filter(F.col("comps") != 1).count() == 0, variant
 
 
 def test_cli_snapshot_table_input_uses_manifest(spark, tmp_path):

@@ -1027,6 +1027,36 @@ def simhash_components(
     return doc_rep.join(rep_comp, "rep").select(id_col, "component_rep")
 
 
+def dedup_cluster_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(bucket, min_size, max_size, n_clusters, n_docs) — log2
+    histogram of exact-dup cluster sizes, the dedup health report a
+    crawl run publishes next to its per-lang metrics (reference
+    analog: per-lang pipeline metrics, pipeline.rs — dedup metrics
+    are the same idea for the dedup pass). bucket = floor(log2(
+    cluster_size)): bucket 0 = unique docs, bucket 1 = pairs/triples,
+    a heavy tail at high buckets means boilerplate flooding. Two
+    partial-aggregable groupBys, no joins — O(distinct fingerprints)
+    shuffle then O(buckets); safe at any corpus size."""
+    keyed = df.select(
+        hash64(normalize_text(F.col(text_col))).alias("fingerprint")
+    )
+    sizes = keyed.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    bucket = F.floor(F.log2("sz")).cast("int")
+    return (
+        sizes.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.min("sz").alias("min_size"),
+            F.max("sz").alias("max_size"),
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("sz").alias("n_docs"),
+        )
+    )
+
+
 def _check_component_threshold(threshold: float) -> None:
     """Rep-level clustering is correct only when identical shingle
     sets are themselves near-dups (J = 1 ≥ threshold) — the group is

@@ -51,6 +51,26 @@ FROM keyed
 """
 
 
+def oracle_dedup_stats() -> str:
+    """SQL twin of dedup.dedup_cluster_stats — log2 histogram of
+    exact-dup cluster sizes. floor(log2(n)) is bit-safe cross-engine:
+    log2 of exact powers of two is exact in IEEE doubles, and other
+    integers sit far from the floor boundary."""
+    return f"""
+WITH keyed AS (
+  SELECT {H64.format(NORM)} AS fingerprint FROM documents
+), sizes AS (
+  SELECT fingerprint, count(*) AS sz FROM keyed GROUP BY fingerprint
+)
+SELECT CAST(floor(log2(sz)) AS INTEGER) AS bucket,
+       min(sz) AS min_size,
+       max(sz) AS max_size,
+       count(*) AS n_clusters,
+       sum(sz) AS n_docs
+FROM sizes GROUP BY bucket
+"""
+
+
 _SHINGLE_BASE = f"""
 WITH toked AS (
   SELECT doc_id, {TOKENS} AS toks FROM documents

@@ -49,6 +49,12 @@ def q_dedup_components_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_components(_docs(spark, sf_dir))
 
 
+def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """log2 histogram of exact-dup cluster sizes — the dedup health
+    report (dd.dedup_cluster_stats); two partial-agg groupBys."""
+    return dd.dedup_cluster_stats(_docs(spark, sf_dir))
+
+
 def q_dedup_components_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairless rep-level connected components over the MinHash-LSH
     Jaccard-≥0.5 graph (round-4 verdict item 1): no doc-level pair
