@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_rep": dsq.q_dedup_components_rep,
         "dedup_components_minhash": dsq.q_dedup_components_minhash,
         "dedup_components_jaccard": dsq.q_dedup_components_jaccard,
+        "dedup_components_embedding": dsq.q_dedup_components_embedding,
         "dedup_jaccard": dsq.q_dedup_jaccard,
         "dedup_minhash": dsq.q_dedup_minhash,
         "dedup_embedding": dsq.q_dedup_embedding,
@@ -87,6 +88,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components_rep": osqld.oracle_dedup_components(),
         "dedup_components_minhash": osqld.oracle_dedup_components_minhash(),
         "dedup_components_jaccard": osqld.oracle_dedup_components_jaccard(),
+        "dedup_components_embedding": osqld.oracle_dedup_components_embedding(),
         "dedup_jaccard": osqld.oracle_dedup_jaccard(),
         "dedup_minhash": osqld.oracle_dedup_minhash(),
         "dedup_embedding": osqld.oracle_dedup_embedding(0.5),

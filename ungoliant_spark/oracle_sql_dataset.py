@@ -207,8 +207,10 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
     )
 
 
-def _components_closure(pairs_sql: str) -> str:
-    """Wrap a doc-level (id_a, id_b[, score]) pair query in a
+def _components_closure(
+    pairs_sql: str, node_table: str = "documents", node_col: str = "doc_id"
+) -> str:
+    """Wrap a node-level (id_a, id_b[, score]) pair query in a
     recursive transitive closure (WITH RECURSIVE) from every node
     over bidirectional edges, then min reachable id per node — the
     label-propagation fixpoint computed a completely different way
@@ -222,12 +224,23 @@ WITH RECURSIVE pairs AS (
   UNION ALL
   SELECT id_b AS src, id_a AS dst FROM pairs
 ), reach(id, r) AS (
-  SELECT doc_id, doc_id FROM documents
+  SELECT {node_col}, {node_col} FROM {node_table}
   UNION
   SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
 )
-SELECT id AS doc_id, min(r) AS component_rep FROM reach GROUP BY id
+SELECT id AS {node_col}, min(r) AS component_rep FROM reach GROUP BY id
 """
+
+
+def oracle_dedup_components_embedding() -> str:
+    """Transitive closure over the LSH-bucket-restricted embedding
+    near-dup pairs — the twin of near_dup_components over
+    embedding_near_dup_pairs (nodes = the embeddings table)."""
+    return _components_closure(
+        oracle_dedup_embedding(0.5),
+        node_table="embeddings",
+        node_col="vec_id",
+    )
 
 
 def oracle_dedup_components() -> str:

@@ -73,6 +73,25 @@ def q_dedup_components_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_components(_docs(spark, sf_dir), threshold=0.5)
 
 
+def q_dedup_components_embedding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Connected components over the embedding-cosine near-dup graph
+    (LSH-bucketed pairs → near_dup_components): completes the
+    cluster-level matrix so every pair family (exact, simhash,
+    minhash, jaccard, embedding) has a components deliverable. Unlike
+    the text families there is no rep-level shortcut (float vectors
+    have no useful exact-dup grouping), but the pair graph is already
+    bucket-restricted, so edges — and hence propagation shuffles —
+    scale with bucket collisions, not the corpus square."""
+    embs = _embs(spark, sf_dir)
+    return dd.near_dup_components(
+        embs,
+        sim.embedding_near_dup_pairs(embs, threshold=0.5),
+        id_col="vec_id",
+    )
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
 
