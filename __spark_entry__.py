@@ -53,6 +53,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ann_lsh": dsq.q_knn_ann_lsh,
         "knn_ann_ivf": dsq.q_knn_ann_ivf,
         "knn_ann_ivf_lloyd": dsq.q_knn_ann_ivf_lloyd,
+        "curation_sample": dsq.q_curation_sample,
+        "curation_pack_tokens": dsq.q_curation_pack_tokens,
+        "curation_topk": dsq.q_curation_topk,
         "text_stats": dsq.q_text_stats,
         "quality_by_source": dsq.q_quality_by_source,
         "zipf_check": dsq.q_zipf_check,
@@ -98,6 +101,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_ann_lsh": osqld.oracle_knn_ann_lsh(),
         "knn_ann_ivf": osqld.oracle_knn_ann_ivf(),
         "knn_ann_ivf_lloyd": osqld.oracle_knn_ann_ivf_lloyd(),
+        "curation_sample": osqld.oracle_curation_sample(),
+        "curation_pack_tokens": osqld.oracle_curation_pack_tokens(),
+        "curation_topk": osqld.oracle_curation_topk(),
         "text_stats": osqld.oracle_text_stats(),
         "quality_by_source": osqld.oracle_quality_by_source(),
         "zipf_check": osqld.oracle_zipf_check(),

@@ -1,0 +1,141 @@
+"""Curation operators: deterministic stratified sampling and the
+distributed prefix-sum budget packer (operators/curation.py). The
+load-bearing scale property: a single giant stratum is SPLIT across
+range partitions (every task bounded at ~1/n_partitions) while the
+selection still equals the naive global-window form."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ungoliant_spark.operators import curation as cur
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rates = {"src0": 0.5, "src1": 1.0, "src2": 0.0}
+    got = cur.stratified_sample(docs, rates, default_rate=0.25)
+    pdf = got.select("doc_id", "source").toPandas()
+    by_src = pdf.groupby("source").size()
+    assert by_src.get("src1") == 25  # rate 1.0 keeps everything
+    assert "src2" not in by_src.index  # rate 0.0 keeps nothing
+    # determinism: same ids regardless of partitioning
+    again = cur.stratified_sample(
+        docs.repartition(13), rates, default_rate=0.25
+    ).select("doc_id").toPandas()
+    assert sorted(again.doc_id) == sorted(pdf.doc_id)
+    # a different salt draws a different (but still deterministic) set
+    other = cur.stratified_sample(
+        docs, rates, default_rate=0.25, salt="sample-v2"
+    ).select("doc_id").toPandas()
+    assert sorted(other.doc_id) != sorted(pdf.doc_id)
+
+
+def test_stratified_sample_rejects_bad_rate(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with pytest.raises(ValueError, match="rate"):
+        cur.stratified_sample(docs, {"src0": 1.5})
+    with pytest.raises(ValueError, match="default_rate"):
+        cur.stratified_sample(docs, {}, default_rate=-0.1)
+
+
+def _naive_pack(df, budget, weight, priority):
+    """The straggler-prone global-window form — test twin only."""
+    w = Window.partitionBy("stratum").orderBy(
+        F.desc("priority"), F.asc("id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        df.select(
+            F.col("doc_id").alias("id"),
+            F.col("source").alias("stratum"),
+            weight.cast("long").alias("weight"),
+            priority.alias("priority"),
+        )
+        .withColumn("cum_weight", F.sum("weight").over(w))
+        .filter(F.col("cum_weight") <= budget)
+    )
+
+
+def test_budget_pack_equals_naive_window(spark):
+    """On the fixture (20 strata), the distributed prefix sum selects
+    exactly the rows of the naive per-stratum global window."""
+    from ungoliant_spark.functions import textstats as ts
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    t = F.col("text")
+    got = cur.token_budget_pack(docs, 600).toPandas()
+    exp = _naive_pack(
+        docs, 600, ts.token_count(t), ts.quality_score(t)
+    ).toPandas()
+    key = lambda d: sorted(
+        map(tuple, d[["id", "weight", "cum_weight"]].values.tolist())
+    ) if "id" in d else sorted(
+        map(tuple, d[["doc_id", "weight", "cum_weight"]].values.tolist())
+    )
+    assert key(got.rename(columns={"doc_id": "id"})) == key(exp)
+
+
+def test_budget_pack_splits_giant_stratum(spark):
+    """ONE stratum with 50k rows, 8 range partitions: every partition
+    holds a bounded share (the naive stratum-partitioned window would
+    put all 50k in one task), and the selection is still the exact
+    greedy prefix: ids in priority order until the budget fills."""
+    n, parts, budget = 50_000, 8, 12_345
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("en").alias("source"),
+        F.lit("x").alias("text"),
+    )
+    # priority = scrambled id (deterministic, distinct); weight = 1+id%7
+    priority = F.pmod(F.col("doc_id") * 2654435761, F.lit(99991)).cast(
+        "double"
+    )
+    weight = (F.col("doc_id") % 7 + 1)
+    got = cur.budget_pack(
+        df, budget, weight=weight, priority=priority,
+        strata_col="source", n_partitions=parts,
+    )
+    pdf = got.toPandas().sort_values("cum_weight")
+    # exact greedy reference computed locally
+    rows = sorted(
+        ((((i * 2654435761) % 99991), i) for i in range(n)),
+        key=lambda p: (-p[0], p[1]),
+    )
+    cum, exp_ids = 0, []
+    for pri, i in rows:
+        w = i % 7 + 1
+        if cum + w > budget:
+            break
+        cum += w
+        exp_ids.append(i)
+    assert list(pdf.doc_id) == exp_ids
+    assert int(pdf.cum_weight.iloc[-1]) == cum <= budget
+    # the giant stratum really was split: selected rows span several
+    # range partitions (each bounded ~n/parts)
+    base = df.select(
+        F.col("doc_id").alias("id"), F.col("source").alias("stratum"),
+        weight.cast("long").alias("weight"), priority.alias("priority"),
+    )
+    ranged = base.repartitionByRange(
+        parts, F.col("stratum"), F.col("priority").desc(), F.col("id")
+    )
+    counts = [
+        r["count"]
+        for r in ranged.groupBy(F.spark_partition_id()).count().collect()
+    ]
+    assert len(counts) >= parts - 1  # stratum spread over partitions
+    assert max(counts) < n / 2  # no task holds the whole stratum
+
+
+def test_stratified_topk_rank_semantics(spark):
+    """Unit weights: cum_weight is the per-stratum rank; exactly k
+    rows per stratum (fixture strata all have >= k rows)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = cur.stratified_topk(docs, 10).toPandas()
+    sizes = got.groupby("source").size()
+    assert (sizes == 10).all()
+    assert set(got.cum_weight) == set(range(1, 11))

@@ -63,10 +63,10 @@ WITH keyed AS (
   SELECT fingerprint, count(*) AS sz FROM keyed GROUP BY fingerprint
 )
 SELECT CAST(floor(log2(sz)) AS INTEGER) AS bucket,
-       min(sz) AS min_size,
-       max(sz) AS max_size,
-       count(*) AS n_clusters,
-       sum(sz) AS n_docs
+       CAST(min(sz) AS BIGINT) AS min_size,
+       CAST(max(sz) AS BIGINT) AS max_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(sz) AS BIGINT) AS n_docs
 FROM sizes GROUP BY bucket
 """
 
@@ -622,6 +622,101 @@ SELECT doc_id, n_tokens, fingerprint,
     AS quality_score
 FROM guessed
 """
+
+
+def oracle_curation_sample() -> str:
+    """SQL twin of curation.stratified_sample with the driver rates:
+    the md5 ticket is the same portable 60-bit hash, so keep/drop is
+    recomputed bit-for-bit."""
+    from ungoliant_spark.operators.curation import SAMPLE_DENOM
+    from ungoliant_spark.plans.dataset_queries import (
+        CURATION_DEFAULT_RATE,
+        CURATION_RATES,
+    )
+
+    rate = f"{CURATION_DEFAULT_RATE}"
+    for s, r in reversed(list(CURATION_RATES.items())):
+        rate = f"CASE WHEN source = '{s}' THEN {r} ELSE {rate} END"
+    ticket = H64.format("'sample-v1:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+    ({ticket}) % {SAMPLE_DENOM} AS sample_ticket,
+    ({rate}) AS rate
+  FROM documents
+)
+SELECT doc_id, source, CAST(sample_ticket AS BIGINT) AS sample_ticket
+FROM t
+WHERE sample_ticket < CAST(rate * {SAMPLE_DENOM} AS BIGINT)
+"""
+
+
+def _quality_scored_cte() -> str:
+    """CTE ending in ``scored(doc_id, source, weight, priority)`` —
+    token count + the frozen 6-dp quality score (same expressions as
+    oracle_text_stats, already hash-proven against the engine)."""
+    hits_total = " + ".join(_stop_hits(lg) for lg in STOPWORDS)
+    return f"""
+WITH toked AS (
+  SELECT doc_id, source, text, {TOKENS} AS toks FROM documents
+), stats AS (
+  SELECT doc_id, source,
+    len(toks) AS n_tokens,
+    CASE WHEN length(text) > 0 THEN
+      CAST(length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{M}}\\p{{N}}\\s]', '', 'g')) AS DOUBLE) / length(text)
+    ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(toks) > 0 THEN
+      CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+    ELSE 0.0 END AS mean_token_len,
+    CASE WHEN len(toks) > 0 THEN
+      CAST({hits_total} AS DOUBLE) / len(toks)
+    ELSE 0.0 END AS stopword_ratio
+  FROM toked
+), scored AS (
+  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS weight,
+    round(0.3 * least(n_tokens / 50.0, 1.0)
+        + 0.3 * (1.0 - least(punct_ratio / 0.3, 1.0))
+        + 0.2 * least(stopword_ratio / 0.2, 1.0)
+        + 0.2 * (1.0 - least(abs(mean_token_len - 5.0) / 5.0, 1.0)), 6)
+      AS priority
+  FROM stats
+)
+"""
+
+
+def _oracle_budget_pack(budget: int, unit_weight: bool) -> str:
+    """Naive global-window twin of curation.budget_pack: one prefix
+    sum per stratum over the (priority desc, id asc) total order —
+    partitioning-independent, so the hash match proves the engine's
+    range-partition + offset decomposition computes identical sums."""
+    w = "1" if unit_weight else "weight"
+    return (
+        _quality_scored_cte()
+        + f"""
+, sel AS (
+  SELECT doc_id, source, CAST({w} AS BIGINT) AS weight, priority,
+    sum(CAST({w} AS BIGINT)) OVER (
+      PARTITION BY source ORDER BY priority DESC, doc_id ASC
+      ROWS UNBOUNDED PRECEDING) AS cum_weight
+  FROM scored
+)
+SELECT doc_id, source, weight, priority,
+       CAST(cum_weight AS BIGINT) AS cum_weight
+FROM sel WHERE cum_weight <= {budget}
+"""
+    )
+
+
+def oracle_curation_pack_tokens() -> str:
+    from ungoliant_spark.plans.dataset_queries import CURATION_BUDGET
+
+    return _oracle_budget_pack(CURATION_BUDGET, unit_weight=False)
+
+
+def oracle_curation_topk() -> str:
+    from ungoliant_spark.plans.dataset_queries import CURATION_TOPK
+
+    return _oracle_budget_pack(CURATION_TOPK, unit_weight=True)
 
 
 def oracle_zipf_check() -> str:

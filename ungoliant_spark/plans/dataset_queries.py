@@ -8,11 +8,21 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ungoliant_spark.functions import textstats as ts
+from ungoliant_spark.operators import curation as cur
 from ungoliant_spark.operators import dedup as dd
 from ungoliant_spark.operators import similarity as sim
 
 N_QUERY_VECS = 20
 TOPK = 5
+
+# curation driver-row parameters (fixture: 20 sources × 25 docs,
+# ~1300 tokens/source — budget 600 half-fills a stratum, k=10 takes
+# 10 of 25; the sample rates exercise explicit, full, zero and
+# default rates)
+CURATION_RATES = {"src0": 0.5, "src1": 1.0, "src2": 0.0}
+CURATION_DEFAULT_RATE = 0.25
+CURATION_BUDGET = 600
+CURATION_TOPK = 10
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -155,6 +165,31 @@ def q_knn_ann_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_ivf_topk(
         embs, queries, k=TOPK, lloyd_iters=1, lloyd_round_dp=6
     )
+
+
+def q_curation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling (curation module)
+    — keep/drop is a pure function of (salt, doc_id), so the oracle
+    recomputes the identical decision from the identical md5 ticket."""
+    return cur.stratified_sample(
+        _docs(spark, sf_dir),
+        CURATION_RATES,
+        default_rate=CURATION_DEFAULT_RATE,
+    ).select("doc_id", "source", "sample_ticket")
+
+
+def q_curation_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget packing via the DISTRIBUTED prefix sum
+    (operators/curation.py) — the DuckDB twin computes the naive
+    global window per stratum, so the hash match proves the
+    range-partition + offset + local-window decomposition is exact."""
+    return cur.token_budget_pack(_docs(spark, sf_dir), CURATION_BUDGET)
+
+
+def q_curation_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per source by quality score — budget_pack with unit
+    weights (cum_weight = per-stratum rank)."""
+    return cur.stratified_topk(_docs(spark, sf_dir), CURATION_TOPK)
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
