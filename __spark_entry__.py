@@ -39,6 +39,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dsq.q_dedup_exact,
         "dedup_reps": dsq.q_dedup_reps,
         "dedup_stats": dsq.q_dedup_stats,
+        "dedup_against": dsq.q_dedup_against,
+        "decontam_flags": dsq.q_decontam_flags,
         "dedup_components": dsq.q_dedup_components,
         "dedup_components_rep": dsq.q_dedup_components_rep,
         "dedup_components_minhash": dsq.q_dedup_components_minhash,
@@ -87,6 +89,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": osqld.oracle_dedup_exact(),
         "dedup_reps": osqld.oracle_dedup_reps(),
         "dedup_stats": osqld.oracle_dedup_stats(),
+        "dedup_against": osqld.oracle_dedup_against(),
+        "decontam_flags": osqld.oracle_decontam_flags(),
         "dedup_components": osqld.oracle_dedup_components(),
         "dedup_components_rep": osqld.oracle_dedup_components(),
         "dedup_components_minhash": osqld.oracle_dedup_components_minhash(),

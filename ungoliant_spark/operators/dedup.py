@@ -1027,6 +1027,61 @@ def simhash_components(
     return doc_rep.join(rep_comp, "rep").select(id_col, "component_rep")
 
 
+def exact_dedup_against(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_id_col: str | None = None,
+    ref_text_col: str | None = None,
+) -> DataFrame:
+    """Cross-corpus exact dedup — dedupe a NEW batch against an
+    existing REFERENCE corpus (the "new crawl vs old snapshots" pass
+    every recurring pipeline runs) plus within-batch dedup, in one
+    plan. Returns (id, fingerprint, dup_of_ref, rep_id, is_dup):
+    ``dup_of_ref`` is the min-id reference doc sharing the
+    fingerprint (null if none), ``rep_id`` the within-batch
+    representative, ``is_dup`` true when the row duplicates either
+    the reference or an earlier batch row.
+
+    Scale shape: the reference side collapses to one (fingerprint,
+    min id) row per distinct reference text BEFORE the join (partial-
+    aggregable groupBy), so the join input is bounded by distinct
+    reference content, not reference row count, and everything is
+    equi-joined on the fingerprint — no windows, no collect_list."""
+    ref_id = ref_id_col or id_col
+    ref_text = ref_text_col or text_col
+    new_keyed = new_df.select(
+        F.col(id_col),
+        hash64(normalize_text(F.col(text_col))).alias("fingerprint"),
+    )
+    ref_reps = (
+        ref_df.select(
+            F.col(ref_id).alias("ref_id"),
+            hash64(normalize_text(F.col(ref_text))).alias("fingerprint"),
+        )
+        .groupBy("fingerprint")
+        .agg(F.min("ref_id").alias("dup_of_ref"))
+    )
+    within = new_keyed.groupBy("fingerprint").agg(
+        F.min(id_col).alias("rep_id")
+    )
+    return (
+        new_keyed.join(ref_reps, "fingerprint", "left")
+        .join(within, "fingerprint")
+        .select(
+            id_col,
+            "fingerprint",
+            "dup_of_ref",
+            "rep_id",
+            (
+                F.col("dup_of_ref").isNotNull()
+                | (F.col(id_col) != F.col("rep_id"))
+            ).alias("is_dup"),
+        )
+    )
+
+
 def dedup_cluster_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -624,6 +624,52 @@ FROM guessed
 """
 
 
+def oracle_dedup_against(
+    new_min: int = 200, ref_max: int = 300
+) -> str:
+    """SQL twin of dedup.exact_dedup_against on the driver split."""
+    return f"""
+WITH k AS (
+  SELECT doc_id, {H64.format(NORM)} AS fingerprint FROM documents
+), ref AS (
+  SELECT fingerprint, min(doc_id) AS dup_of_ref
+  FROM k WHERE doc_id < {ref_max} GROUP BY fingerprint
+), newb AS (
+  SELECT doc_id, fingerprint FROM k WHERE doc_id >= {new_min}
+), within AS (
+  SELECT fingerprint, min(doc_id) AS rep_id FROM newb GROUP BY fingerprint
+)
+SELECT n.doc_id, n.fingerprint, r.dup_of_ref, w.rep_id,
+  (r.dup_of_ref IS NOT NULL OR n.doc_id <> w.rep_id) AS is_dup
+FROM newb n
+LEFT JOIN ref r USING (fingerprint)
+JOIN within w USING (fingerprint)
+"""
+
+
+def oracle_decontam_flags(bench_max: int = 5, min_overlap: int = 1) -> str:
+    """SQL twin of decontam.flag_contaminated: same distinct 3-gram
+    shingle hashes (SHINGLES), benchmark = doc_id < bench_max."""
+    return (
+        _SHINGLE_BASE
+        + f"""
+, bench AS (
+  SELECT DISTINCT unnest(shingles) AS g FROM shingled
+  WHERE doc_id < {bench_max}
+), grams AS (
+  SELECT doc_id, unnest(shingles) AS g FROM shingled
+), hits AS (
+  SELECT doc_id, count(*) AS n FROM grams JOIN bench USING (g)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_overlap_ngrams,
+  COALESCE(h.n, 0) >= {min_overlap} AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+    )
+
+
 def oracle_curation_sample() -> str:
     """SQL twin of curation.stratified_sample with the driver rates:
     the md5 ticket is the same portable 60-bit hash, so keep/drop is

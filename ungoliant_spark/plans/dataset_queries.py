@@ -167,6 +167,30 @@ def q_knn_ann_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus exact dedup (dd.exact_dedup_against): the new
+    batch (doc_id ≥ 200) deduped against an existing reference
+    corpus (doc_id < 300) — the overlap [200, 300) guarantees the
+    cross-corpus join path fires on the fixture."""
+    docs = _docs(spark, sf_dir)
+    return dd.exact_dedup_against(
+        docs.filter(F.col("doc_id") >= 200),
+        docs.filter(F.col("doc_id") < 300),
+    )
+
+
+def q_decontam_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): flag docs
+    sharing any 3-gram with the 'benchmark' set (doc_id < 5);
+    production uses ~13-grams, the fixture's short texts use the
+    shared 3-gram shingle machinery so the oracle recomputes the
+    decision bit-for-bit."""
+    docs = _docs(spark, sf_dir)
+    from ungoliant_spark.operators.decontam import flag_contaminated
+
+    return flag_contaminated(docs, docs.filter(F.col("doc_id") < 5))
+
+
 def q_curation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based stratified sampling (curation module)
     — keep/drop is a pure function of (salt, doc_id), so the oracle
