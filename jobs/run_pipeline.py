@@ -113,6 +113,13 @@ def main(argv: list[str] | None = None) -> int:
                         "the Hamming<=3 near-dup graph; minhash: "
                         "component_rep of the Jaccard>=0.5 MinHash-LSH "
                         "graph) computed on the scrubbed transcript")
+    p.add_argument("--strip-boilerplate", type=float, default=None,
+                   metavar="FRAC",
+                   help="follow-on pass over the committed kept table: "
+                        "drop transcript lines whose distinct-clip "
+                        "frequency exceeds FRAC of kept clips "
+                        "(C4-style boilerplate) and write clip_id -> "
+                        "cleaned transcript + n_boilerplate_lines")
     args = p.parse_args(argv)
 
     # Under spark-submit the JVM already exists (PYSPARK_GATEWAY_PORT
@@ -328,6 +335,36 @@ def main(argv: list[str] | None = None) -> int:
                 dedup_out = f"{args.output}_dedup"
                 ded.writeTo(dedup_out).createOrReplace()
         print(f"dedup ({args.dedup}) mapping -> {dedup_out}")
+    if args.strip_boilerplate:
+        # same two-pass shape as --dedup: line frequency is a corpus-
+        # level statistic, so it can only be computed over the FULLY
+        # committed kept table; the cleaned-transcript mapping is a
+        # pure function of that table and is atomically overwritten
+        # on re-runs. The kept rows themselves are never mutated —
+        # rebuild/lineage stay valid; consumers join the mapping.
+        from pyspark.sql import functions as F
+
+        from ungoliant_spark.operators.boilerplate import (
+            remove_frequent_lines,
+        )
+
+        lined = read_kept().select(
+            "clip_id", F.split(F.col("transcript"), "\n").alias("lines")
+        )
+        cleaned = remove_frequent_lines(
+            lined, args.strip_boilerplate
+        ).select(
+            "clip_id",
+            F.array_join("lines", "\n").alias("transcript_clean"),
+            "n_boilerplate_lines",
+        )
+        if args.format == "snapshot":
+            bp_out = os.path.join(args.output, "boilerplate")
+            cleaned.write.mode("overwrite").parquet(bp_out)
+        else:
+            bp_out = f"{args.output}_boilerplate"
+            cleaned.writeTo(bp_out).createOrReplace()
+        print(f"boilerplate-stripped transcripts -> {bp_out}")
     spark.stop()
     return 0
 

@@ -223,6 +223,24 @@ def test_cli_dedup_follow_on_pass(spark, tmp_path):
         ).agg(F.count_distinct("component_rep").alias("comps"))
         assert joined.filter(F.col("comps") != 1).count() == 0, variant
 
+    # boilerplate pass on the same committed output: mapping is total
+    # and transcripts without over-frequent lines pass through intact
+    stdout = _run_cli(["--input", clips, "--output", out, "--chunks", "2",
+                       "--strip-boilerplate", "0.9"])
+    assert "boilerplate-stripped transcripts" in stdout
+    bpdf = spark.read.parquet(os.path.join(out, "boilerplate"))
+    assert bpdf.count() == n_kept
+    assert set(bpdf.columns) == {
+        "clip_id", "transcript_clean", "n_boilerplate_lines"
+    }
+    # at a 90% threshold nothing in the fixture is boilerplate: the
+    # cleaned transcript equals the original for every kept clip
+    same = kept.join(bpdf, "clip_id").filter(
+        (F.col("transcript_clean") == F.col("transcript"))
+        & (F.col("n_boilerplate_lines") == 0)
+    )
+    assert same.count() == n_kept
+
 
 def test_cli_snapshot_table_input_uses_manifest(spark, tmp_path):
     """A SnapshotTable root as --input: the CLI reads the committed
