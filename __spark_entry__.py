@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_stats": cq.q_audio_stats,
         "audio_frames": cq.q_audio_frames,
         "audio_resample": cq.q_audio_resample,
+        "audio_quality": cq.q_audio_quality,
         "lid_documents": cq.q_lid_documents,
     }
 
@@ -122,5 +123,6 @@ def oracle_sql() -> dict[str, str]:
         "audio_stats": osqlc.oracle_audio_stats(),
         "audio_frames": osqlc.oracle_audio_frames(),
         "audio_resample": osqlc.oracle_audio_resample(),
+        "audio_quality": osqlc.oracle_audio_quality(),
         "lid_documents": osqlc.oracle_lid_documents(),
     }

@@ -142,3 +142,43 @@ def test_remove_frequent_lines_on_clips_fixture(spark):
     )
     assert bad.count() == 0
     lined.unpersist()
+
+
+def test_audio_quality_gate_signals(spark):
+    """Each audio gate signal fires on purpose-built PCM: silence →
+    too_quiet, full-scale square → clipped, half-dead clip →
+    silence_ratio 0.5 boundary (kept), mostly-dead → dropped, bad
+    codec → decode_ok false with null signals and keep false."""
+    import numpy as np
+
+    from ungoliant_spark.operators.audio_ops import audio_quality
+
+    sr = 16000
+    loud = (np.sin(np.arange(sr) * 0.05) * 8000).astype("<i2")
+    silent = np.zeros(sr, dtype="<i2")
+    square = np.where(np.arange(sr) % 2 == 0, 32767, -32767).astype("<i2")
+    half = np.concatenate([silent[: sr // 2], loud[: sr // 2]])
+    mostly = np.concatenate([silent[: 3 * sr // 4], loud[: sr // 4]])
+    rows = [
+        ("ok", loud.tobytes(), "pcm_s16le"),
+        ("quiet", silent.tobytes(), "pcm_s16le"),
+        ("clip", square.tobytes(), "pcm_s16le"),
+        ("half", half.tobytes(), "pcm_s16le"),
+        ("mostly", mostly.tobytes(), "pcm_s16le"),
+        ("bad", b"\x00\x01", "mp3"),
+    ]
+    df = spark.createDataFrame(
+        [(cid, bytearray(b), c, sr, 1000) for cid, b, c in rows],
+        "clip_id string, bytes binary, codec string, sr_hz int, dur_ms int",
+    )
+    got = {r["clip_id"]: r for r in audio_quality(df).collect()}
+    assert got["ok"]["audio_keep"] and not got["ok"]["too_quiet"]
+    assert got["quiet"]["too_quiet"] and not got["quiet"]["audio_keep"]
+    assert got["clip"]["clipped"] and not got["clip"]["audio_keep"]
+    # exactly half the 8 frames dead → ratio 0.5 ≤ bound → kept
+    assert got["half"]["silence_ratio"] == 0.5 and got["half"]["audio_keep"]
+    assert got["mostly"]["silence_ratio"] == 0.75
+    assert not got["mostly"]["audio_keep"]
+    assert not got["bad"]["decode_ok"]
+    assert got["bad"]["too_quiet"] is None
+    assert got["bad"]["audio_keep"] is False

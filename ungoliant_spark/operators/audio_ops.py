@@ -153,3 +153,58 @@ def resample(clips: DataFrame, target_sr: int = 16000) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in RESAMPLE_T])
 
     return narrow.mapInPandas(batches, schema=RESAMPLE_T)
+
+
+# -- audio-side quality gate ------------------------------------------
+
+# int16-scale thresholds: a clip whose overall RMS sits below
+# RMS_SILENCE is effectively silent recording-floor noise; a peak at
+# full scale means the capture clipped; frames below RMS_SILENCE are
+# dead air, and a majority of dead-air frames marks a mostly-empty
+# clip even when a short loud burst lifts the overall RMS.
+RMS_SILENCE = 50.0
+CLIP_PEAK = 32767
+MAX_SILENCE_RATIO = 0.5
+
+
+def audio_quality(clips: DataFrame) -> DataFrame:
+    """(clip_id, decode_ok, too_quiet, clipped, silence_ratio,
+    audio_keep) — the AUDIO-side quality gate, the PCM analog of the
+    transcript heuristics (the reference filters text only; an
+    audio+transcript corpus needs both sides gated). Pure Catalyst
+    over the already-verified :func:`audio_stats` features — the one
+    decode pass is shared, no second trip through Arrow — so the
+    DuckDB twin recomputes the gate from the independent-decode
+    expected table and the driver hash-check pins the decision
+    end-to-end. Undecodable clips keep ``audio_keep`` false with
+    null signal columns (unknown, not 'loud')."""
+    s = audio_stats(clips)
+    rms_d = F.col("rms").cast("double")
+    silent_frames = F.size(
+        F.filter(
+            F.col("frame_energy"),
+            lambda e: e.cast("double") < F.lit(RMS_SILENCE),
+        )
+    )
+    silence_ratio = F.when(
+        F.col("decode_ok"),
+        F.round(
+            silent_frames.cast("double") / F.size("frame_energy"), 3
+        ),
+    )
+    too_quiet = F.when(F.col("decode_ok"), rms_d < RMS_SILENCE)
+    clipped = F.when(F.col("decode_ok"), F.col("peak") >= CLIP_PEAK)
+    keep = (
+        F.col("decode_ok")
+        & ~too_quiet
+        & ~clipped
+        & (silence_ratio <= MAX_SILENCE_RATIO)
+    )
+    return s.select(
+        "clip_id",
+        "decode_ok",
+        too_quiet.alias("too_quiet"),
+        clipped.alias("clipped"),
+        silence_ratio.alias("silence_ratio"),
+        F.coalesce(keep, F.lit(False)).alias("audio_keep"),
+    )

@@ -263,6 +263,38 @@ FROM read_parquet('{exp}')
 """
 
 
+def oracle_audio_quality() -> str:
+    """Gate twin over the independent-decode expected table: the same
+    int16-scale thresholds (audio_ops.RMS_SILENCE / CLIP_PEAK /
+    MAX_SILENCE_RATIO) applied to the independently-computed rms /
+    peak / frame_energy; silence_ratio counts of the 8 fixed frames
+    are exact eighths, so round(,3) is bit-stable cross-engine."""
+    from ungoliant_spark.operators.audio_ops import (
+        CLIP_PEAK,
+        MAX_SILENCE_RATIO,
+        RMS_SILENCE,
+    )
+
+    exp = ensure_audio_expected()
+    sil = (
+        "CAST(len(list_filter(frame_energy,"
+        f" e -> e::DOUBLE < {RMS_SILENCE})) AS DOUBLE)"
+        " / len(frame_energy)"
+    )
+    return f"""
+SELECT clip_id, decode_ok,
+  CASE WHEN decode_ok THEN (rms::DOUBLE < {RMS_SILENCE}) END AS too_quiet,
+  CASE WHEN decode_ok THEN (peak >= {CLIP_PEAK}) END AS clipped,
+  CASE WHEN decode_ok THEN round({sil}, 3) END AS silence_ratio,
+  COALESCE(
+    decode_ok AND NOT (rms::DOUBLE < {RMS_SILENCE})
+      AND NOT (peak >= {CLIP_PEAK})
+      AND round({sil}, 3) <= {MAX_SILENCE_RATIO},
+    false) AS audio_keep
+FROM read_parquet('{exp}')
+"""
+
+
 def oracle_lid_documents() -> str:
     exp = ensure_lid_documents_expected()
     return f"""

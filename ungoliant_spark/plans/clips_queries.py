@@ -135,6 +135,15 @@ def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-side quality gate (operators/audio_ops.audio_quality):
+    pure Catalyst over the hash-verified stats features; the oracle
+    recomputes the gate from the independent-decode expected table."""
+    from ungoliant_spark.operators.audio_ops import audio_quality
+
+    return audio_quality(load_clips(spark, sf_dir))
+
+
 def q_lid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LID model over the shared documents table (one line per doc)."""
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
