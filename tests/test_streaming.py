@@ -226,3 +226,58 @@ def test_sessionize_event_time_timeout(spark, tmp_path):
     assert r["sum_value"] == 3.0
     assert str(r["session_start"]).startswith("2026-01-01 00:00:00")
     assert str(r["session_end"]).startswith("2026-01-01 00:05:00")
+
+
+def test_stream_exact_dedup(spark, clips_dir, tmp_path):
+    """Streaming dedup drops repeated transcripts ACROSS micro-batches
+    (state persists between files) while keeping exactly one copy per
+    distinct fingerprint; state is watermark-bounded by construction
+    (dropDuplicatesWithinWatermark)."""
+    import os
+
+    from ungoliant_spark.operators.dedup import hash64, normalize_text
+    from ungoliant_spark.streaming.quality_stream import (
+        stream_exact_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = (
+        spark.read.parquet(f"{clips_dir}/clips.parquet")
+        .limit(40)
+        .withColumn("ingest_ts", F.lit("2026-01-01 00:00:00").cast("timestamp"))
+    )
+    base.coalesce(1).write.parquet(f"{src}/batch1")
+    # second file: 10 exact duplicates under new clip_ids, 5 fresh-ish
+    dup = (
+        base.limit(10)
+        .withColumn("clip_id", F.concat(F.lit("dup-"), "clip_id"))
+        .withColumn(
+            "ingest_ts", F.lit("2026-01-01 00:10:00").cast("timestamp")
+        )
+    )
+    dup.coalesce(1).write.parquet(f"{src}/batch2")
+    # file source wants uniform files in ONE dir
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    i = 0
+    for sub in ("batch1", "batch2"):
+        for f in os.listdir(f"{src}/{sub}"):
+            if f.endswith(".parquet"):
+                os.rename(f"{src}/{sub}/{f}", f"{flat}/part-{i}.parquet")
+                i += 1
+    q = stream_exact_dedup(
+        spark, flat, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    inp = spark.read.parquet(flat).withColumn(
+        "fingerprint", hash64(normalize_text(F.col("transcript")))
+    )
+    n_distinct = inp.select("fingerprint").distinct().count()
+    assert out.count() == n_distinct
+    assert out.select("fingerprint").distinct().count() == n_distinct
+    # every duplicate transcript kept exactly one clip
+    per_fp = out.groupBy("fingerprint").count()
+    assert per_fp.filter(F.col("count") != 1).count() == 0

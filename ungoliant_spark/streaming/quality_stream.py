@@ -261,3 +261,52 @@ def sessionize_events(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_exact_dedup(
+    spark: SparkSession,
+    clips_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark_delay: str = "1 hour",
+    ts_col: str = "ingest_ts",
+    max_files_per_trigger: int = 1,
+):
+    """Streaming exact dedup on ingest — the first copy of each
+    normalized transcript passes, later copies are dropped across
+    micro-batches. Built on ``dropDuplicatesWithinWatermark``: state
+    holds one (fingerprint) entry per distinct transcript seen inside
+    the watermark horizon and is EVICTED as event time advances —
+    bounded state, unlike a plain ``dropDuplicates`` whose state
+    grows forever on an unbounded stream. A duplicate arriving after
+    the horizon re-admits (the batch ``exact_dedup_reps`` pass
+    catches those; this operator is the cheap online guard that stops
+    same-day recrawl storms from flooding downstream).
+
+    The input schema is the clips table plus an event-time
+    ``ts_col`` timestamp (ingest time). Restart-safe via the
+    checkpoint; the fingerprint is the same portable hash64 the
+    batch dedup family uses."""
+    from ungoliant_spark.operators.dedup import hash64, normalize_text
+
+    src = (
+        spark.readStream.schema(
+            CLIPS_SCHEMA_DDL + f", {ts_col} timestamp"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(clips_dir)
+    )
+    deduped = (
+        src.withColumn(
+            "fingerprint", hash64(normalize_text(F.col("transcript")))
+        )
+        .withWatermark(ts_col, watermark_delay)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
