@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_sample": dsq.q_curation_sample,
         "curation_pack_tokens": dsq.q_curation_pack_tokens,
         "curation_topk": dsq.q_curation_topk,
+        "curation_sequences": dsq.q_curation_sequences,
         "text_stats": dsq.q_text_stats,
         "quality_by_source": dsq.q_quality_by_source,
         "zipf_check": dsq.q_zipf_check,
@@ -109,6 +110,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_sample": osqld.oracle_curation_sample(),
         "curation_pack_tokens": osqld.oracle_curation_pack_tokens(),
         "curation_topk": osqld.oracle_curation_topk(),
+        "curation_sequences": osqld.oracle_curation_sequences(),
         "text_stats": osqld.oracle_text_stats(),
         "quality_by_source": osqld.oracle_quality_by_source(),
         "zipf_check": osqld.oracle_zipf_check(),

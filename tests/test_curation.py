@@ -139,3 +139,28 @@ def test_stratified_topk_rank_semantics(spark):
     sizes = got.groupby("source").size()
     assert (sizes == 10).all()
     assert set(got.cum_weight) == set(range(1, 11))
+
+
+def test_pack_sequences_layout(spark):
+    """Concat-then-chunk semantics: within each stratum (priority
+    desc, id) order, each doc's start offset is the previous cum;
+    seq_id = start // seq_len, seq_offset = start % seq_len; the
+    total token count per stratum spans ceil(total/seq_len)
+    sequences with no gaps."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = cur.pack_sequences(docs, 128).toPandas()
+    assert (got.seq_offset < 128).all() and (got.seq_offset >= 0).all()
+    for src, grp in got.groupby("source"):
+        g = grp.sort_values("cum_weight")
+        starts = g.cum_weight - g.weight
+        # contiguous layout: starts are the shifted cumulative sums
+        assert list(starts) == [0] + list(g.cum_weight)[:-1]
+        assert (g.seq_id == starts // 128).all()
+        total = g.weight.sum()
+        assert g.seq_id.max() == (total - g.weight.iloc[-1]) // 128
+        # with every doc shorter than seq_len (true on this fixture),
+        # no sequence index can be skipped: each is occupied by a start
+        assert (g.weight < 128).all()
+        assert set(g.seq_id) == set(range(0, int(g.seq_id.max()) + 1))
+    with pytest.raises(ValueError, match="seq_len"):
+        cur.pack_sequences(docs, 0)

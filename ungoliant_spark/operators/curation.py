@@ -74,26 +74,30 @@ def stratified_sample(
     )
 
 
-def budget_pack(
+def prefix_sums(
     df: DataFrame,
-    budget: int,
     weight: Column,
     priority: Column,
     id_col: str = "doc_id",
     strata_col: str = "source",
     n_partitions: int = 32,
 ) -> DataFrame:
-    """Per-stratum greedy selection under a weight budget via a
-    DISTRIBUTED prefix sum (module docstring): keep, in (priority
-    desc, id asc) order within each stratum, every row whose
-    cumulative weight stays ≤ ``budget``. Returns (id, stratum,
-    weight, priority, cum_weight) for the selected rows.
+    """(id, stratum, weight, priority, cum_weight) for EVERY row: the
+    per-stratum running weight total in (priority desc, id asc)
+    order, computed as a DISTRIBUTED prefix sum (module docstring) —
+    the shared engine under :func:`budget_pack` and
+    :func:`pack_sequences`.
 
-    The range-partitioned intermediate is localCheckpointed — range
-    partitioning samples boundaries with a nondeterministic seed, so
-    the partition-id column MUST be pinned before being consumed by
-    both the offset aggregate and the final window (recomputation
-    could otherwise re-draw boundaries and mismatch the offsets).
+    NOT a lazy plan: calling this runs Spark jobs immediately (the
+    range partitioning's boundary sampling, a localCheckpoint of the
+    partitioned table, and the per-(stratum, partition) offset
+    aggregate to the driver) — it is a multi-pass algorithm, like
+    near_dup_components' iteration loop, not a deferred expression.
+    The checkpoint is REQUIRED for correctness, not just speed:
+    repartitionByRange samples boundaries with a nondeterministic
+    seed, so the partition-id column must be pinned before the
+    offset aggregate and the final window both consume it —
+    recomputation could re-draw boundaries and mismatch the offsets.
     The driver-side offset table is #strata × n_partitions rows.
     """
     base = df.select(
@@ -139,7 +143,6 @@ def budget_pack(
         .withColumn(
             "cum_weight", F.col("offset") + F.sum("weight").over(w)
         )
-        .filter(F.col("cum_weight") <= budget)
         .select(
             F.col("id").alias(id_col),
             F.col("stratum").alias(strata_col),
@@ -147,6 +150,67 @@ def budget_pack(
             "priority",
             "cum_weight",
         )
+    )
+
+
+def budget_pack(
+    df: DataFrame,
+    budget: int,
+    weight: Column,
+    priority: Column,
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Per-stratum greedy selection under a weight budget: keep, in
+    (priority desc, id asc) order within each stratum, every row
+    whose cumulative weight stays ≤ ``budget`` — a filter over
+    :func:`prefix_sums` (whose eager multi-pass caveat applies)."""
+    return prefix_sums(
+        df, weight, priority, id_col, strata_col, n_partitions
+    ).filter(F.col("cum_weight") <= budget)
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    text_col: str = "text",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Document → training-sequence assignment (the pretraining prep
+    step): per stratum, lay documents end-to-end in (quality desc,
+    id) order and cut every ``seq_len`` tokens — doc d belongs to
+    sequence ``floor(start_offset / seq_len)``, where start_offset
+    is the running token count BEFORE d. Returns (id, stratum,
+    weight, priority, cum_weight, seq_id, seq_offset): ``seq_offset``
+    is the doc's start position inside its sequence, so a writer can
+    materialize fixed-length rows downstream. Deterministic, no rng;
+    built on the same distributed prefix sum (eager multi-pass
+    caveat in :func:`prefix_sums` applies). A doc longer than
+    seq_len simply spans sequences — the assignment records where it
+    STARTS, matching concat-then-chunk packing semantics."""
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    t = F.col(text_col)
+    sums = prefix_sums(
+        df,
+        weight=ts.token_count(t),
+        priority=ts.quality_score(t),
+        id_col=id_col,
+        strata_col=strata_col,
+        n_partitions=n_partitions,
+    )
+    start = F.col("cum_weight") - F.col("weight")
+    return sums.select(
+        id_col,
+        strata_col,
+        "weight",
+        "priority",
+        "cum_weight",
+        F.floor(start / seq_len).cast("long").alias("seq_id"),
+        F.pmod(start, F.lit(seq_len)).cast("long").alias("seq_offset"),
     )
 
 

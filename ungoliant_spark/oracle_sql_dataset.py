@@ -765,6 +765,32 @@ def oracle_curation_topk() -> str:
     return _oracle_budget_pack(CURATION_TOPK, unit_weight=True)
 
 
+def oracle_curation_sequences() -> str:
+    """Naive global-window twin of curation.pack_sequences: the doc's
+    START offset (cum - weight) fixes its sequence id and in-sequence
+    offset."""
+    from ungoliant_spark.plans.dataset_queries import CURATION_SEQ_LEN
+
+    s = CURATION_SEQ_LEN
+    return (
+        _quality_scored_cte()
+        + f"""
+, sel AS (
+  SELECT doc_id, source, weight, priority,
+    sum(weight) OVER (
+      PARTITION BY source ORDER BY priority DESC, doc_id ASC
+      ROWS UNBOUNDED PRECEDING) AS cum_weight
+  FROM scored
+)
+SELECT doc_id, source, weight, priority,
+       CAST(cum_weight AS BIGINT) AS cum_weight,
+       CAST((cum_weight - weight) // {s} AS BIGINT) AS seq_id,
+       CAST((cum_weight - weight) % {s} AS BIGINT) AS seq_offset
+FROM sel
+"""
+    )
+
+
 def oracle_zipf_check() -> str:
     return f"""
 WITH words AS (

@@ -23,6 +23,7 @@ CURATION_RATES = {"src0": 0.5, "src1": 1.0, "src2": 0.0}
 CURATION_DEFAULT_RATE = 0.25
 CURATION_BUDGET = 600
 CURATION_TOPK = 10
+CURATION_SEQ_LEN = 128
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -214,6 +215,13 @@ def q_curation_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per source by quality score — budget_pack with unit
     weights (cum_weight = per-stratum rank)."""
     return cur.stratified_topk(_docs(spark, sf_dir), CURATION_TOPK)
+
+
+def q_curation_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document → fixed-token training-sequence assignment
+    (cur.pack_sequences over the distributed prefix sum); the DuckDB
+    twin recomputes the layout with a naive global window."""
+    return cur.pack_sequences(_docs(spark, sf_dir), CURATION_SEQ_LEN)
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
