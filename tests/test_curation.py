@@ -164,3 +164,18 @@ def test_pack_sequences_layout(spark):
         assert set(g.seq_id) == set(range(0, int(g.seq_id.max()) + 1))
     with pytest.raises(ValueError, match="seq_len"):
         cur.pack_sequences(docs, 0)
+
+
+def test_prefix_sum_window_is_partition_scoped(spark):
+    """Plan gate: the prefix-sum window runs per (stratum, pid) — the
+    range-partition slice — never per whole stratum, so no task ever
+    sorts a full stratum."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = cur.token_budget_pack(docs, 600)._jdf.queryExecution()\
+        .executedPlan().toString()
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for spec in specs:
+        assert "pid" in spec, (spec, plan)
