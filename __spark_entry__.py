@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pack_tokens": dsq.q_curation_pack_tokens,
         "curation_topk": dsq.q_curation_topk,
         "curation_sequences": dsq.q_curation_sequences,
+        "repetition_signals": dsq.q_repetition_signals,
         "text_stats": dsq.q_text_stats,
         "quality_by_source": dsq.q_quality_by_source,
         "zipf_check": dsq.q_zipf_check,
@@ -111,6 +112,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pack_tokens": osqld.oracle_curation_pack_tokens(),
         "curation_topk": osqld.oracle_curation_topk(),
         "curation_sequences": osqld.oracle_curation_sequences(),
+        "repetition_signals": osqld.oracle_repetition_signals(),
         "text_stats": osqld.oracle_text_stats(),
         "quality_by_source": osqld.oracle_quality_by_source(),
         "zipf_check": osqld.oracle_zipf_check(),

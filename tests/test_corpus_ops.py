@@ -182,3 +182,36 @@ def test_audio_quality_gate_signals(spark):
     assert not got["bad"]["decode_ok"]
     assert got["bad"]["too_quiet"] is None
     assert got["bad"]["audio_keep"] is False
+
+
+def test_repetition_signals_gopher_rules(spark):
+    """Crafted docs pin the Gopher repetition math: a pure repeat
+    scores dup-frac near 1 with the top gram covering most chars; a
+    no-repeat doc scores 0/low; docs shorter than n score 0 on both;
+    the mode tie-break is the deterministic (count, gram) struct
+    max."""
+    from ungoliant_spark.operators.repetition import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "one two three four five six"),
+            (3, "hi"),                      # < 2 tokens: no 2-grams
+            (4, "a b a b c d c d"),         # 2-gram tie: "a b" vs "c d"
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    # doc 1: five identical 2-grams "spam spam" → dup2 = 1 - 1/5
+    assert got[1]["dup2_frac"] == 0.8
+    # top 2-gram "spam spam" (9 chars) occurs 5x over 29 chars
+    assert got[1]["top2_char_frac"] == round(5 * 9 / 29, 6)
+    assert got[2]["dup2_frac"] == 0.0 and got[2]["dup3_frac"] == 0.0
+    assert got[3]["dup2_frac"] == 0.0 and got[3]["top2_char_frac"] == 0.0
+    # tie at count 2: ("a b", 2) vs ("c d", 2) → struct max picks the
+    # lexicographically LARGER gram "c d" in both engines
+    assert got[4]["top2_char_frac"] == round(2 * 3 / 15, 6)
+    # plan: mode computed via partial-aggregable groupBys, no window
+    plan = repetition_signals(docs)._jdf.queryExecution()\
+        .executedPlan().toString()
+    assert "Window" not in plan and "partial_count" in plan, plan

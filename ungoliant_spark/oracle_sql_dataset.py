@@ -791,6 +791,58 @@ FROM sel
     )
 
 
+def oracle_repetition_signals(ns: tuple[int, ...] = (2, 3)) -> str:
+    """SQL twin of repetition.repetition_signals: same non-distinct
+    n-gram lists, same deterministic (count, gram)-struct mode
+    tie-break, same 6-dp rounding."""
+    ctes = [f"WITH toked AS (\n  SELECT doc_id, text, {TOKENS} AS toks FROM documents\n)"]
+    cols = ["d.doc_id"]
+    joins = []
+    for n in ns:
+        gram_list = (
+            f"CASE WHEN len(toks) >= {n} THEN "
+            f"list_transform(range(1, len(toks) - {n} + 2), "
+            f"i -> array_to_string(toks[i:i+{n - 1}], ' ')) "
+            f"ELSE [] END"
+        )
+        ctes.append(
+            f"g{n} AS (\n  SELECT doc_id, text, ({gram_list}) AS grams"
+            "\n  FROM toked\n)"
+        )
+        ctes.append(
+            f"ex{n} AS (\n  SELECT doc_id, unnest(grams) AS g FROM g{n}\n)"
+        )
+        ctes.append(
+            f"cnt{n} AS (\n  SELECT doc_id, g, count(*) AS c FROM ex{n}"
+            "\n  GROUP BY doc_id, g\n)"
+        )
+        ctes.append(
+            f"mode{n} AS (\n  SELECT doc_id,"
+            f" max(struct_pack(cnt := c, g := g)) AS m\n  FROM cnt{n}"
+            "\n  GROUP BY doc_id\n)"
+        )
+        cols.append(
+            f"CASE WHEN len(g{n}.grams) > 0 THEN round(1.0 - "
+            f"CAST(len(list_distinct(g{n}.grams)) AS DOUBLE)"
+            f" / len(g{n}.grams), 6) ELSE 0.0 END AS dup{n}_frac"
+        )
+        cols.append(
+            f"CASE WHEN mode{n}.m IS NOT NULL AND length(d.text) > 0"
+            f" THEN round(mode{n}.m.cnt *"
+            f" CAST(length(mode{n}.m.g) AS DOUBLE) / length(d.text), 6)"
+            f" ELSE 0.0 END AS top{n}_char_frac"
+        )
+        joins.append(f"JOIN g{n} ON g{n}.doc_id = d.doc_id")
+        joins.append(f"LEFT JOIN mode{n} ON mode{n}.doc_id = d.doc_id")
+    return (
+        ",\n".join(ctes)
+        + "\nSELECT "
+        + ",\n  ".join(cols)
+        + "\nFROM documents d\n"
+        + "\n".join(joins)
+    )
+
+
 def oracle_zipf_check() -> str:
     return f"""
 WITH words AS (

@@ -224,6 +224,15 @@ def q_curation_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.pack_sequences(_docs(spark, sf_dir), CURATION_SEQ_LEN)
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition signals (operators/
+    repetition.py): duplicate n-gram fraction + top-n-gram character
+    fraction for n ∈ {2, 3}, hash-checked against a DuckDB twin."""
+    from ungoliant_spark.operators.repetition import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir))
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("text")
     return _docs(spark, sf_dir).select(
