@@ -335,7 +335,10 @@ def main(argv: list[str] | None = None) -> int:
                 dedup_out = f"{args.output}_dedup"
                 ded.writeTo(dedup_out).createOrReplace()
         print(f"dedup ({args.dedup}) mapping -> {dedup_out}")
-    if args.strip_boilerplate:
+    # `is not None`, not truthiness: an explicit --strip-boilerplate
+    # 0.0 must reach remove_frequent_lines and fail its range check
+    # loudly instead of silently skipping the pass (ADVICE r5)
+    if args.strip_boilerplate is not None:
         # same two-pass shape as --dedup: line frequency is a corpus-
         # level statistic, so it can only be computed over the FULLY
         # committed kept table; the cleaned-transcript mapping is a
@@ -347,23 +350,25 @@ def main(argv: list[str] | None = None) -> int:
         from ungoliant_spark.operators.boilerplate import (
             remove_frequent_lines,
         )
+        from ungoliant_spark.operators.dedup import group_cache_scope
 
         lined = read_kept().select(
             "clip_id", F.split(F.col("transcript"), "\n").alias("lines")
         )
-        cleaned = remove_frequent_lines(
-            lined, args.strip_boilerplate
-        ).select(
-            "clip_id",
-            F.array_join("lines", "\n").alias("transcript_clean"),
-            "n_boilerplate_lines",
-        )
-        if args.format == "snapshot":
-            bp_out = os.path.join(args.output, "boilerplate")
-            cleaned.write.mode("overwrite").parquet(bp_out)
-        else:
-            bp_out = f"{args.output}_boilerplate"
-            cleaned.writeTo(bp_out).createOrReplace()
+        with group_cache_scope():
+            cleaned = remove_frequent_lines(
+                lined, args.strip_boilerplate
+            ).select(
+                "clip_id",
+                F.array_join("lines", "\n").alias("transcript_clean"),
+                "n_boilerplate_lines",
+            )
+            if args.format == "snapshot":
+                bp_out = os.path.join(args.output, "boilerplate")
+                cleaned.write.mode("overwrite").parquet(bp_out)
+            else:
+                bp_out = f"{args.output}_boilerplate"
+                cleaned.writeTo(bp_out).createOrReplace()
         print(f"boilerplate-stripped transcripts -> {bp_out}")
     spark.stop()
     return 0

@@ -166,6 +166,66 @@ def test_pack_sequences_layout(spark):
         cur.pack_sequences(docs, 0)
 
 
+def test_sample_cutoff_is_exact_integer(spark):
+    """ADVICE r5: rates not exactly representable in binary (0.3
+    scales to 299999.99999999994) must map to the intended integer
+    cutoff in BOTH engines — the cutoff is precomputed in Python, so
+    the boundary ticket 299999 is kept, never truncated away."""
+    assert cur.sample_cutoff(0.3) == 300_000
+    assert cur.sample_cutoff(0.0) == 0
+    assert cur.sample_cutoff(1.0) == cur.SAMPLE_DENOM
+    docs = spark.range(20_000).select(
+        F.col("id").alias("doc_id"), F.lit("s").alias("source")
+    )
+    got = cur.stratified_sample(docs, {"s": 0.3})
+    # every kept ticket is strictly below the rounded cutoff, and the
+    # keep-rate lands near 0.3 (hash uniformity)
+    mx = got.agg(F.max("sample_ticket").alias("m")).collect()[0]["m"]
+    assert mx < 300_000
+    n = got.count()
+    assert 0.25 * 20_000 < n < 0.35 * 20_000
+
+
+def test_prefix_sums_null_weight_and_strata_guard(spark):
+    """ADVICE r5: NULL weights (null text -> null token count)
+    coalesce to 0 instead of raising in the driver offset loop; a
+    high-cardinality strata column fails loudly BEFORE collecting an
+    unbounded offset table."""
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.lit("s").alias("source"),
+        F.when(F.col("id") % 3 == 0, F.lit(None).cast("long"))
+        .otherwise(F.lit(2))
+        .alias("w"),
+    )
+    out = cur.prefix_sums(
+        df, weight=F.col("w"), priority=F.col("doc_id").cast("double"),
+        n_partitions=4,
+    ).toPandas()
+    assert len(out) == 100
+    # nulls contribute 0: total = 2 * (#non-null rows)
+    n_nonnull = 100 - len([i for i in range(100) if i % 3 == 0])
+    assert out.cum_weight.max() == 2 * n_nonnull
+    assert (out.weight >= 0).all()
+    # guard: doc_id as stratum -> 100 strata; tiny MAX_OFFSET_ROWS
+    # via a huge n_partitions is impractical, so monkey the bound
+    import ungoliant_spark.operators.curation as cmod
+
+    old = cmod.MAX_OFFSET_ROWS
+    cmod.MAX_OFFSET_ROWS = 50
+    try:
+        with pytest.raises(ValueError, match="MAX_OFFSET_ROWS"):
+            cur.prefix_sums(
+                df,
+                weight=F.col("w"),
+                priority=F.col("doc_id").cast("double"),
+                strata_col="doc_id",
+                n_partitions=4,
+            )
+    finally:
+        cmod.MAX_OFFSET_ROWS = old
+
+
 def test_prefix_sum_window_is_partition_scoped(spark):
     """Plan gate: the prefix-sum window runs per (stratum, pid) — the
     range-partition slice — never per whole stratum, so no task ever

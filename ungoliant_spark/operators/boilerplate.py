@@ -21,7 +21,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ungoliant_spark.operators.dedup import hash64
+from ungoliant_spark.operators.dedup import _persist_groups, hash64
+
+# broadcast the boilerplate key set only below this row count
+# (~8 B/long key + hashed-relation overhead ⇒ well under executor
+# memory); above it the join falls back to a shuffle join and AQE —
+# enabled in session.py / jobs — may still re-pick broadcast from
+# real size stats (ADVICE r5: an unconditional hint could OOM the
+# driver when a tiny max_doc_frac makes the over-threshold set huge)
+MAX_BROADCAST_KEYS = 4_000_000
 
 
 def _norm_line(line) -> "F.Column":
@@ -62,7 +70,10 @@ def remove_frequent_lines(
     ``lines`` replaced by the surviving lines (original order) plus
     ``n_boilerplate_lines`` dropped per doc. ``total_docs`` lets a
     caller pass a known corpus size; otherwise one scalar count
-    (metadata-cheap on parquet) fixes the denominator. Blank lines
+    (metadata-cheap on parquet) fixes the denominator. NOT a lazy
+    plan: the boilerplate key set is materialized (persisted via the
+    dedup group-cache registry) and counted so the join side is
+    broadcast only under ``MAX_BROADCAST_KEYS``. Blank lines
     are never counted as boilerplate (they carry no content signal);
     the frequency key is whitespace/case-normalized, the kept text is
     the ORIGINAL line."""
@@ -73,16 +84,21 @@ def remove_frequent_lines(
     n_total = total_docs if total_docs is not None else df.count()
     cutoff = int(max_doc_frac * n_total)
     freq = line_doc_frequency(df, id_col, lines_col)
-    boiler = freq.filter(F.col("n_docs") > cutoff).select("line_key")
+    # persist (group-cache registry: released by dedup.group_cache_scope
+    # / unpersist_group_tables) so the size check and the join read one
+    # materialization of the two-groupBy aggregation, then broadcast
+    # only when the key set is provably small
+    boiler = _persist_groups(
+        freq.filter(F.col("n_docs") > cutoff).select("line_key")
+    )
+    boiler_side = boiler.withColumn("is_boiler", F.lit(True))
+    if boiler.count() <= MAX_BROADCAST_KEYS:
+        boiler_side = F.broadcast(boiler_side)
     ex = df.select(
         F.col(id_col),
         F.posexplode(lines_col).alias("pos", "line"),
     ).withColumn("line_key", hash64(_norm_line(F.col("line"))))
-    marked = ex.join(
-        F.broadcast(boiler.withColumn("is_boiler", F.lit(True))),
-        "line_key",
-        "left",
-    )
+    marked = ex.join(boiler_side, "line_key", "left")
     rebuilt = marked.groupBy(id_col).agg(
         F.array_sort(
             F.collect_list(

@@ -40,6 +40,22 @@ from ungoliant_spark.operators.dedup import hash64
 
 SAMPLE_DENOM = 1_000_000
 
+# hard bound on the prefix-sum driver-side offset table
+# (#strata × n_partitions rows); see prefix_sums
+MAX_OFFSET_ROWS = 1_000_000
+
+
+def sample_cutoff(rate: float) -> int:
+    """The integer ticket cutoff for a sampling rate: round-half-away
+    of ``rate · 10^6``, computed ONCE in Python and injected as a
+    literal into both the Spark filter and the DuckDB oracle
+    (oracle_sql_dataset.oracle_curation_sample). A float expression
+    cast engine-side is a latent off-by-one: Spark's cast(long)
+    truncates while DuckDB's CAST rounds, so a rate like 0.3
+    (binary 299999.99999999994 after scaling) would keep ticket
+    299999 in one engine and not the other."""
+    return int(rate * SAMPLE_DENOM + 0.5)
+
 
 def stratified_sample(
     df: DataFrame,
@@ -50,27 +66,30 @@ def stratified_sample(
     salt: str = "sample-v1",
 ) -> DataFrame:
     """Deterministic per-stratum sampling: keep a row iff
-    ``hash64(salt || id) % 10^6 < rate(stratum) · 10^6``. Unlike
-    ``df.sample``/``sampleBy`` (rng-seeded per partition, resample on
-    retry/re-partitioning), the decision is a pure function of the
-    row id — stable under resume, re-partitioning and audit, and the
-    same id keeps/drops consistently across runs with the same salt
-    (change the salt to draw an independent sample). Pure Catalyst;
-    one projection + filter, no shuffle."""
+    ``hash64(salt || id) % 10^6 < sample_cutoff(rate(stratum))``.
+    Unlike ``df.sample``/``sampleBy`` (rng-seeded per partition,
+    resample on retry/re-partitioning), the decision is a pure
+    function of the row id — stable under resume, re-partitioning and
+    audit, and the same id keeps/drops consistently across runs with
+    the same salt (change the salt to draw an independent sample).
+    Cutoffs are precomputed integers (:func:`sample_cutoff`), never a
+    float cast in the plan. Pure Catalyst; one projection + filter,
+    no shuffle."""
     for s, r in rates.items():
         if not (0.0 <= r <= 1.0):
             raise ValueError(f"rate for stratum {s!r} must be in [0,1]: {r}")
     if not (0.0 <= default_rate <= 1.0):
         raise ValueError(f"default_rate must be in [0,1]: {default_rate}")
-    rate: Column = F.lit(default_rate)
+    cutoff: Column = F.lit(sample_cutoff(default_rate))
     for s, r in rates.items():
-        rate = F.when(F.col(strata_col) == s, F.lit(r)).otherwise(rate)
+        cutoff = F.when(
+            F.col(strata_col) == s, F.lit(sample_cutoff(r))
+        ).otherwise(cutoff)
     ticket = hash64(
         F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
     ) % SAMPLE_DENOM
     return df.withColumn("sample_ticket", ticket).filter(
-        F.col("sample_ticket")
-        < (rate * SAMPLE_DENOM).cast("long")
+        F.col("sample_ticket") < cutoff
     )
 
 
@@ -98,14 +117,32 @@ def prefix_sums(
     seed, so the partition-id column must be pinned before the
     offset aggregate and the final window both consume it —
     recomputation could re-draw boundaries and mismatch the offsets.
-    The driver-side offset table is #strata × n_partitions rows.
+
+    The driver-side offset table is #strata × n_partitions rows, so
+    a high-cardinality ``strata_col`` (say URL domain on a crawl)
+    would collect millions of rows to the driver; the strata count is
+    checked FIRST (one tiny column-pruned aggregate) and the call
+    raises if ``#strata × n_partitions > MAX_OFFSET_ROWS`` — pick a
+    coarser stratum or pre-aggregate. NULL weights (e.g. null text →
+    null token count) coalesce to 0 so the running sums stay defined.
     """
     base = df.select(
         F.col(id_col).alias("id"),
-        F.col(strata_col).alias("stratum"),
-        weight.cast("long").alias("weight"),
+        F.col(strata_col).cast("string").alias("stratum"),
+        F.coalesce(weight.cast("long"), F.lit(0)).alias("weight"),
         priority.alias("priority"),
     )
+    n_strata = base.agg(
+        F.count_distinct("stratum").alias("n")
+    ).collect()[0]["n"]
+    if n_strata * n_partitions > MAX_OFFSET_ROWS:
+        raise ValueError(
+            f"prefix_sums: {n_strata} distinct strata × {n_partitions} "
+            f"partitions = {n_strata * n_partitions} driver-side offset "
+            f"rows exceeds MAX_OFFSET_ROWS={MAX_OFFSET_ROWS}; use a "
+            "coarser strata_col (language-like cardinality) or shard "
+            "the input by stratum ranges before packing"
+        )
     ranged = (
         base.repartitionByRange(
             n_partitions,

@@ -86,8 +86,12 @@ def group_cache_scope():
             df.unpersist()
 
 
-# outstanding async cap-suppression log watchers (see _watch_cap)
+# outstanding async cap-suppression log watchers (see _watch_cap);
+# guarded by _CAP_LOCK — concurrent driver threads may build guarded
+# plans, and an unsynchronized list.append/pop pair can drop or
+# double-join entries (ADVICE r5)
 _CAP_WATCHERS: list[threading.Thread] = []
+_CAP_LOCK = threading.Lock()
 
 
 def await_cap_logs(timeout: float = 30.0) -> None:
@@ -97,8 +101,12 @@ def await_cap_logs(timeout: float = 30.0) -> None:
     materializes (zero extra Spark jobs), so the WARNING lands
     asynchronously moments after the action completes — tests and
     scripted drivers call this to sequence log assertions."""
-    while _CAP_WATCHERS:
-        _CAP_WATCHERS.pop().join(timeout)
+    while True:
+        with _CAP_LOCK:
+            if not _CAP_WATCHERS:
+                return
+            t = _CAP_WATCHERS.pop()
+        t.join(timeout)
 
 
 def _watch_cap(obs: Observation, cap: int) -> None:
@@ -129,7 +137,15 @@ def _watch_cap(obs: Observation, cap: int) -> None:
 
     t = threading.Thread(target=_wait, daemon=True, name="dedup-cap-log")
     t.start()
-    _CAP_WATCHERS.append(t)
+    with _CAP_LOCK:
+        # prune finished watchers so long-lived drivers that build
+        # many guarded plans don't accumulate thread handles; a plan
+        # that is built but NEVER materialized pins one daemon thread
+        # (Observation.get has no timeout API) — daemon threads never
+        # block shutdown, and the count is bounded by the number of
+        # never-run guarded plans, not by work done (ADVICE r5)
+        _CAP_WATCHERS[:] = [w for w in _CAP_WATCHERS if w.is_alive()]
+        _CAP_WATCHERS.append(t)
 
 
 def _perm_coeffs(seed: int = 42) -> list[tuple[int, int]]:
@@ -1088,8 +1104,10 @@ def dedup_cluster_stats(
     """(bucket, min_size, max_size, n_clusters, n_docs) — log2
     histogram of exact-dup cluster sizes, the dedup health report a
     crawl run publishes next to its per-lang metrics (reference
-    analog: per-lang pipeline metrics, pipeline.rs — dedup metrics
-    are the same idea for the dedup pass). bucket = floor(log2(
+    analog: the per-lang document-count log at
+    /root/reference/src/pipelines/oscardoc/pipeline.rs:371 — dedup
+    cluster-size counts are the same health report for the dedup
+    pass). bucket = floor(log2(
     cluster_size)): bucket 0 = unique docs, bucket 1 = pairs/triples,
     a heavy tail at high buckets means boilerplate flooding. Two
     partial-aggregable groupBys, no joins — O(distinct fingerprints)

@@ -672,28 +672,37 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 
 def oracle_curation_sample() -> str:
     """SQL twin of curation.stratified_sample with the driver rates:
-    the md5 ticket is the same portable 60-bit hash, so keep/drop is
-    recomputed bit-for-bit."""
-    from ungoliant_spark.operators.curation import SAMPLE_DENOM
+    the md5 ticket is the same portable 60-bit hash, and the ticket
+    cutoffs are the SAME precomputed Python integers the engine
+    injects (curation.sample_cutoff) — no engine-side float→int cast
+    whose rounding could diverge (ADVICE r5: Spark cast truncates,
+    DuckDB CAST rounds; rate 0.3 scaled is 299999.99999999994)."""
+    from ungoliant_spark.operators.curation import (
+        SAMPLE_DENOM,
+        sample_cutoff,
+    )
     from ungoliant_spark.plans.dataset_queries import (
         CURATION_DEFAULT_RATE,
         CURATION_RATES,
     )
 
-    rate = f"{CURATION_DEFAULT_RATE}"
+    cutoff = f"{sample_cutoff(CURATION_DEFAULT_RATE)}"
     for s, r in reversed(list(CURATION_RATES.items())):
-        rate = f"CASE WHEN source = '{s}' THEN {r} ELSE {rate} END"
+        cutoff = (
+            f"CASE WHEN source = '{s}' THEN {sample_cutoff(r)} "
+            f"ELSE {cutoff} END"
+        )
     ticket = H64.format("'sample-v1:' || CAST(doc_id AS VARCHAR)")
     return f"""
 WITH t AS (
   SELECT doc_id, source,
     ({ticket}) % {SAMPLE_DENOM} AS sample_ticket,
-    ({rate}) AS rate
+    ({cutoff}) AS cutoff
   FROM documents
 )
 SELECT doc_id, source, CAST(sample_ticket AS BIGINT) AS sample_ticket
 FROM t
-WHERE sample_ticket < CAST(rate * {SAMPLE_DENOM} AS BIGINT)
+WHERE sample_ticket < cutoff
 """
 
 
