@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_running_avg": dsq.q_events_running_avg,
         "events_sessions": dsq.q_events_sessions,
         "events_sessions_streaming": dsq.q_events_sessions_streaming,
+        "stream_dedup": dsq.q_stream_dedup,
         # clips-table model/binary ops (fixture-expected-table oracles
         # + F1/SNR/parity gates in tests/)
         "clips_decisions": cq.q_clips_decisions,
@@ -120,6 +121,7 @@ def oracle_sql() -> dict[str, str]:
         "events_running_avg": osqld.oracle_events_running_avg(),
         "events_sessions": osqld.oracle_events_sessions(),
         "events_sessions_streaming": osqld.oracle_events_sessions_streaming(),
+        "stream_dedup": osqld.oracle_stream_dedup(),
         # clips-table model/binary ops: fixture-expected-table oracles
         # (ground truth computed outside Spark; see oracle_sql_clips)
         "clips_decisions": osqlc.oracle_clips_decisions(),

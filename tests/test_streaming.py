@@ -281,3 +281,69 @@ def test_stream_exact_dedup(spark, clips_dir, tmp_path):
     # every duplicate transcript kept exactly one clip
     per_fp = out.groupBy("fingerprint").count()
     assert per_fp.filter(F.col("count") != 1).count() == 0
+
+
+def test_stream_dedup_readmits_after_horizon(spark, tmp_path):
+    """Watermark-bounded state semantics, pinned deterministically:
+    a duplicate INSIDE the horizon is dropped; once the event-time
+    watermark passes first_ts + delay the fingerprint's state is
+    evicted and a later copy RE-ADMITS (the property that makes the
+    state bounded on an unbounded stream). One file per micro-batch
+    (utime-ordered, maxFilesPerTrigger=1) so watermark advancement
+    between batches is exact."""
+    import os
+
+    from ungoliant_spark.streaming.quality_stream import (
+        stream_exact_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = "2026-01-01 00:00:00"
+    schema = "doc_id long, source string, text string"
+
+    def write_wave(i, rows):
+        df = spark.createDataFrame(
+            [(d, "s", t) for d, t in rows], schema
+        ).withColumn(
+            "ingest_ts",
+            F.to_timestamp(F.lit(t0)) + F.make_interval(
+                secs=F.col("doc_id") * 60
+            ),
+        )
+        stage = str(tmp_path / f"stage{i}")
+        df.coalesce(1).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = f"{src}/wave-{i}.parquet"
+        os.rename(f"{stage}/{part}", dst)
+        os.utime(dst, (1_700_000_000 + 10 * i, 1_700_000_000 + 10 * i))
+
+    # doc_id encodes minutes-after-t0. delay = 1 hour.
+    # wave 1: first copy of "x" at t0, plus "z" at t0
+    write_wave(1, [(0, "x"), (1, "z")])
+    # wave 2: duplicate of "x" at +30 min (state alive -> DROPPED);
+    # "q" at +180 min advances the watermark to +120 min, evicting
+    # "x" (expiry = 0 + 60 min) at batch end
+    write_wave(2, [(30, "x"), (180, "q")])
+    # wave 3: "w" advances the batch whose state cleanup (which runs
+    # AFTER input processing, hence the separate batch) drops "x"
+    write_wave(3, [(190, "w")])
+    # wave 4: duplicate of "x" at +195 min -> state gone, RE-ADMITTED
+    write_wave(4, [(195, "x")])
+
+    q = stream_exact_dedup(
+        spark,
+        src,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        watermark_delay="1 hour",
+        schema_ddl=schema,
+        text_col="text",
+        available_now=True,
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    got = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    # 0 ("x" first copy), 1 ("z"), 180 ("q"), 190 ("w"), 195 ("x"
+    # re-admitted); 30 (in-horizon duplicate) dropped
+    assert got == [0, 1, 180, 190, 195]

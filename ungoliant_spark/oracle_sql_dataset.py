@@ -670,6 +670,30 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
     )
 
 
+def oracle_stream_dedup() -> str:
+    """Batch twin of the streaming exact dedup replay
+    (plans/dataset_queries.q_stream_dedup): the wave layout feeds
+    each fingerprint's occurrences in doc_id order across
+    micro-batches and the watermark horizon exceeds the replay span,
+    so the surviving set is exactly the min-doc_id row per
+    fingerprint, carrying its wave-1 ingest timestamp
+    (base + doc_id mod 60 seconds)."""
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, source, {H64.format(NORM)} AS fingerprint
+  FROM documents
+), reps AS (
+  SELECT fingerprint, min(doc_id) AS doc_id
+  FROM keyed GROUP BY fingerprint
+)
+SELECT k.doc_id, k.source, k.fingerprint,
+  TIMESTAMP '2026-01-01 00:00:00'
+    + INTERVAL (k.doc_id % 60) SECOND AS ingest_ts
+FROM keyed k
+JOIN reps r ON k.fingerprint = r.fingerprint AND k.doc_id = r.doc_id
+"""
+
+
 def oracle_curation_sample() -> str:
     """SQL twin of curation.stratified_sample with the driver rates:
     the md5 ticket is the same portable 60-bit hash, and the ticket

@@ -378,6 +378,96 @@ def q_events_sessions_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) executed
+    through REAL Structured Streaming and hash-checked against a
+    batch DuckDB twin (round-5 verdict item 1 — the last operator
+    without a CORRECTNESS row).
+
+    Replay construction (deterministic by design): documents are laid
+    out in WAVES — wave r holds each fingerprint's r-th occurrence
+    (rank by doc_id), so no micro-batch ever sees the same
+    fingerprint twice and the survivor is never an arbitrary
+    in-batch pick. One file per wave with strictly increasing mtimes
+    (the file source processes oldest-first) + maxFilesPerTrigger=1
+    replays the waves in ingest order across micro-batches, proving
+    state carries BETWEEN batches. ingest_ts = base + (r-1)·10 min +
+    (doc_id mod 60) s; the watermark horizon (30 days) exceeds the
+    replay span, so no state eviction occurs and first-seen-within-
+    horizon == global first-seen == min doc_id per fingerprint —
+    exactly what the SQL twin computes. (Eviction + re-admission
+    AFTER the horizon is pinned deterministically in
+    tests/test_streaming.py::test_stream_dedup_readmits_after_horizon.)
+
+    BOUNDED-REPLAY HARNESS ONLY — the wave layout, utime pinning and
+    .cache/stream_dedup working directory exist so a finite fixture
+    replays deterministically; production just feeds arrival files."""
+    import hashlib
+    import os
+    import shutil
+
+    from ungoliant_spark.operators.dedup import hash64, normalize_text
+    from ungoliant_spark.streaming.quality_stream import stream_exact_dedup
+
+    doc_path = f"{sf_dir}/documents.parquet"
+    tag = hashlib.md5(doc_path.encode()).hexdigest()[:12]
+    root = os.path.abspath(
+        os.path.join(
+            os.path.dirname(__file__), "..", "..", ".cache",
+            "stream_dedup", tag,
+        )
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src_dir = os.path.join(root, "src")
+    sink_dir = os.path.join(root, "sink")
+    ckpt_dir = os.path.join(root, "ckpt")
+    os.makedirs(src_dir)
+
+    docs = spark.read.parquet(doc_path).select("doc_id", "source", "text")
+    w = Window.partitionBy(
+        hash64(normalize_text(F.col("text")))
+    ).orderBy("doc_id")
+    waved = docs.withColumn("wave", F.row_number().over(w)).withColumn(
+        "ingest_ts",
+        F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+        + F.make_interval(secs=(F.col("wave") - 1) * 600 + F.col("doc_id") % 60),
+    )
+    n_waves = waved.agg(F.max("wave").alias("m")).collect()[0]["m"]
+    base_mtime = os.path.getmtime(doc_path)
+    for r in range(1, n_waves + 1):
+        wave_dir = os.path.join(root, f"stage-{r}")
+        (
+            waved.filter(F.col("wave") == r)
+            .drop("wave")
+            .coalesce(1)
+            .write.parquet(wave_dir)
+        )
+        part = next(
+            f for f in os.listdir(wave_dir) if f.endswith(".parquet")
+        )
+        dst = os.path.join(src_dir, f"wave-{r:03d}.parquet")
+        os.rename(os.path.join(wave_dir, part), dst)
+        os.utime(dst, (base_mtime + 10 * r, base_mtime + 10 * r))
+
+    q = stream_exact_dedup(
+        spark,
+        src_dir,
+        sink_dir,
+        ckpt_dir,
+        watermark_delay="30 days",
+        schema_ddl="doc_id long, source string, text string",
+        text_col="text",
+        available_now=True,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink_dir).select(
+        "doc_id",
+        "source",
+        "fingerprint",
+        F.col("ingest_ts").cast("timestamp_ntz").alias("ingest_ts"),
+    )
+
+
 def q_events_running_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running mean over the last 4 events (cross-row window
     function — an operator class the reference lacks, §2.9)."""

@@ -271,11 +271,14 @@ def stream_exact_dedup(
     watermark_delay: str = "1 hour",
     ts_col: str = "ingest_ts",
     max_files_per_trigger: int = 1,
+    schema_ddl: str | None = None,
+    text_col: str = "transcript",
+    available_now: bool = False,
 ):
     """Streaming exact dedup on ingest — the first copy of each
-    normalized transcript passes, later copies are dropped across
+    normalized ``text_col`` passes, later copies are dropped across
     micro-batches. Built on ``dropDuplicatesWithinWatermark``: state
-    holds one (fingerprint) entry per distinct transcript seen inside
+    holds one (fingerprint) entry per distinct text seen inside
     the watermark horizon and is EVICTED as event time advances —
     bounded state, unlike a plain ``dropDuplicates`` whose state
     grows forever on an unbounded stream. A duplicate arriving after
@@ -283,30 +286,33 @@ def stream_exact_dedup(
     catches those; this operator is the cheap online guard that stops
     same-day recrawl storms from flooding downstream).
 
-    The input schema is the clips table plus an event-time
-    ``ts_col`` timestamp (ingest time). Restart-safe via the
-    checkpoint; the fingerprint is the same portable hash64 the
+    The input schema defaults to the clips table (``schema_ddl``
+    overrides — any table with a text column works) plus an
+    event-time ``ts_col`` timestamp (ingest time). Restart-safe via
+    the checkpoint; the fingerprint is the same portable hash64 the
     batch dedup family uses."""
     from ungoliant_spark.operators.dedup import hash64, normalize_text
 
     src = (
         spark.readStream.schema(
-            CLIPS_SCHEMA_DDL + f", {ts_col} timestamp"
+            (schema_ddl or CLIPS_SCHEMA_DDL) + f", {ts_col} timestamp"
         )
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(clips_dir)
     )
     deduped = (
         src.withColumn(
-            "fingerprint", hash64(normalize_text(F.col("transcript")))
+            "fingerprint", hash64(normalize_text(F.col(text_col)))
         )
         .withWatermark(ts_col, watermark_delay)
         .dropDuplicatesWithinWatermark(["fingerprint"])
     )
-    return (
+    writer = (
         deduped.writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
