@@ -120,6 +120,20 @@ def main(argv: list[str] | None = None) -> int:
                         "frequency exceeds FRAC of kept clips "
                         "(C4-style boilerplate) and write clip_id -> "
                         "cleaned transcript + n_boilerplate_lines")
+    p.add_argument("--decontam", default=None, metavar="BENCH",
+                   help="follow-on benchmark-decontamination pass over "
+                        "the committed kept table: BENCH is a parquet "
+                        "file/dir with a 'text' column or a plain text "
+                        "file (one benchmark doc per line); writes "
+                        "clip_id -> (n_overlap_ngrams, contaminated)")
+    p.add_argument("--decontam-ngram", type=int, default=13,
+                   metavar="N",
+                   help="n-gram size for --decontam (default 13, the "
+                        "published-pipeline convention)")
+    p.add_argument("--repetition", action="store_true",
+                   help="follow-on pass over the committed kept table: "
+                        "write clip_id -> Gopher-style repetition "
+                        "signals (dup{n}_frac / top{n}_char_frac)")
     args = p.parse_args(argv)
 
     # Under spark-submit the JVM already exists (PYSPARK_GATEWAY_PORT
@@ -285,6 +299,18 @@ def main(argv: list[str] | None = None) -> int:
             return CheckpointedRun(args.output).kept.read(spark)
         return spark.read.table(f"{args.output}_kept")
 
+    def write_aux(df, name: str) -> str:
+        """Land a follow-on pass result (pure function of the kept
+        table, atomically overwritten on re-runs — same contract as
+        --dedup)."""
+        if args.format == "snapshot":
+            aux_out = os.path.join(args.output, name)
+            df.write.mode("overwrite").parquet(aux_out)
+        else:
+            aux_out = f"{args.output}_{name}"
+            df.writeTo(aux_out).createOrReplace()
+        return aux_out
+
     if args.jsonl_out:
         # packaging step (reference: packing kept docs into per-lang
         # gzip JSONL files): read the committed kept table and fan out
@@ -370,6 +396,45 @@ def main(argv: list[str] | None = None) -> int:
                 bp_out = f"{args.output}_boilerplate"
                 cleaned.writeTo(bp_out).createOrReplace()
         print(f"boilerplate-stripped transcripts -> {bp_out}")
+    if args.decontam:
+        # same follow-on shape as --dedup (cross-chunk by nature: the
+        # contamination decision needs no chunk state, but running it
+        # once over the committed table keeps one benchmark broadcast
+        # instead of per-chunk re-broadcasts). Benchmark side is tiny
+        # → distinct-gram broadcast inside flag_contaminated; the kept
+        # table is never shuffled on the gram key. Column pruning
+        # keeps audio `bytes` out of the scan.
+        from ungoliant_spark.operators.decontam import flag_contaminated
+
+        if args.decontam.endswith(".parquet") or os.path.isdir(args.decontam):
+            bench = spark.read.parquet(args.decontam)
+        else:
+            bench = spark.read.text(args.decontam).withColumnRenamed(
+                "value", "text"
+            )
+        flags = flag_contaminated(
+            read_kept(),
+            bench,
+            n=args.decontam_ngram,
+            id_col="clip_id",
+            text_col="transcript",
+            bench_text_col="text",
+        )
+        dc_out = write_aux(flags, "decontam")
+        print(f"decontamination flags (n={args.decontam_ngram}) -> {dc_out}")
+    if args.repetition:
+        # Gopher repetition signals over the committed kept table —
+        # the quality-analysis companion to --decontam; explode-once +
+        # partial-aggregable groupBys (operators/repetition.py)
+        from ungoliant_spark.operators.repetition import (
+            repetition_signals,
+        )
+
+        sig = repetition_signals(
+            read_kept(), id_col="clip_id", text_col="transcript"
+        )
+        rp_out = write_aux(sig, "repetition")
+        print(f"repetition signals -> {rp_out}")
     spark.stop()
     return 0
 

@@ -241,6 +241,40 @@ def test_cli_dedup_follow_on_pass(spark, tmp_path):
     )
     assert same.count() == n_kept
 
+    # --decontam (round-5 verdict item 3): plant one kept transcript
+    # in the benchmark file; its clip must come back contaminated,
+    # the mapping must be total (1:1 with kept), and clips sharing no
+    # 3-gram with the benchmark stay clean
+    planted = kept.select("clip_id", "transcript").filter(
+        F.size(F.split("transcript", r"\s+")) >= 3
+    ).orderBy("clip_id").first()
+    bench_path = str(tmp_path / "bench.txt")
+    with open(bench_path, "w", encoding="utf-8") as f:
+        f.write(planted["transcript"] + "\n")
+    stdout = _run_cli(["--input", clips, "--output", out, "--chunks", "2",
+                       "--decontam", bench_path, "--decontam-ngram", "3"])
+    assert "decontamination flags (n=3)" in stdout
+    dc = spark.read.parquet(os.path.join(out, "decontam"))
+    assert set(dc.columns) == {
+        "clip_id", "n_overlap_ngrams", "contaminated"
+    }
+    assert dc.count() == n_kept
+    assert kept.join(dc, "clip_id").count() == n_kept
+    row = dc.filter(F.col("clip_id") == planted["clip_id"]).first()
+    assert row["contaminated"] and row["n_overlap_ngrams"] >= 1
+    # the fixture has distinct transcripts too — not everything flags
+    assert dc.filter(~F.col("contaminated")).count() > 0
+
+    # --repetition (round-5 verdict item 6): total annotation with
+    # the Gopher signal columns
+    stdout = _run_cli(["--input", clips, "--output", out, "--chunks", "2",
+                       "--repetition"])
+    assert "repetition signals" in stdout
+    rp = spark.read.parquet(os.path.join(out, "repetition"))
+    assert rp.count() == n_kept
+    assert {"clip_id", "dup2_frac", "top2_char_frac",
+            "dup3_frac", "top3_char_frac"} <= set(rp.columns)
+
 
 def test_cli_snapshot_table_input_uses_manifest(spark, tmp_path):
     """A SnapshotTable root as --input: the CLI reads the committed
