@@ -130,6 +130,11 @@ def main(argv: list[str] | None = None) -> int:
                    metavar="N",
                    help="n-gram size for --decontam (default 13, the "
                         "published-pipeline convention)")
+    p.add_argument("--audio-gate", action="store_true",
+                   help="also gate on the AUDIO side (decode-based "
+                        "silence/clipping checks, operators/audio_ops."
+                        "audio_quality): keep requires audio_keep, and "
+                        "audio drop reasons join quality_warnings")
     p.add_argument("--repetition", action="store_true",
                    help="follow-on pass over the committed kept table: "
                         "write clip_id -> Gopher-style repetition "
@@ -184,6 +189,7 @@ def main(argv: list[str] | None = None) -> int:
             terms,
             n_partitions=args.partitions,
             files=in_manifest,
+            audio_gate=args.audio_gate,
         )
         print(f"committed {len(committed)} new chunks -> {args.output}")
     else:
@@ -271,7 +277,9 @@ def main(argv: list[str] | None = None) -> int:
             if chunk_id in done:
                 continue
             part = chunk_df(chunk)
-            kept = pipeline_run(part, terms, args.partitions).cache()
+            kept = pipeline_run(
+                part, terms, args.partitions, audio_gate=args.audio_gate
+            ).cache()
             try:
                 out = kept.drop("sentence_langs")
                 if not schema_written:

@@ -311,3 +311,61 @@ def test_cli_snapshot_table_input_uses_manifest(spark, tmp_path):
     got = kept.select("clip_id")
     assert direct.subtract(got).count() == 0
     assert got.subtract(direct).count() == 0
+
+
+def test_cli_audio_gate(spark, tmp_path):
+    """--audio-gate (round-5 verdict item 4, CLI leg): the committed
+    kept table equals transcript-keep AND audio_keep, with the ground
+    truth for the audio side rebuilt from the INDEPENDENT RIFF-walk
+    decode path (oracle_sql_clips.ensure_audio_expected) — so the
+    planted silent/clipped/dead-air clips are provably absent."""
+    import pyarrow.parquet as pq
+
+    from ungoliant_spark.operators.audio_ops import (
+        CLIP_PEAK,
+        MAX_SILENCE_RATIO,
+        RMS_SILENCE,
+    )
+    from ungoliant_spark.oracle_sql_clips import ensure_audio_expected
+    from ungoliant_spark.sources.fixtures import generate
+
+    fx = generate(0.001)
+    clips = os.path.join(fx, "clips.parquet")
+    out = str(tmp_path / "gated_out")
+    stdout = _run_cli(["--input", clips, "--output", out, "--chunks", "2",
+                       "--audio-gate"])
+    assert "committed 2 new chunks" in stdout
+
+    labels = {
+        r["clip_id"]: r["keep"]
+        for r in pq.read_table(
+            os.path.join(fx, "labels.parquet"), columns=["clip_id", "keep"]
+        ).to_pylist()
+    }
+    audio_keep = {}
+    for r in pq.read_table(
+        ensure_audio_expected(0.001),
+        columns=["clip_id", "decode_ok", "rms", "peak", "frame_energy"],
+    ).to_pylist():
+        if not r["decode_ok"]:
+            audio_keep[r["clip_id"]] = False
+            continue
+        silent = sum(1 for e in r["frame_energy"] if e < RMS_SILENCE)
+        ratio = round(silent / len(r["frame_energy"]), 3)
+        audio_keep[r["clip_id"]] = (
+            r["rms"] >= RMS_SILENCE
+            and r["peak"] < CLIP_PEAK
+            and ratio <= MAX_SILENCE_RATIO
+        )
+
+    from ungoliant_spark.plans.checkpoint import CheckpointedRun
+
+    got = {
+        r["clip_id"]
+        for r in CheckpointedRun(out).kept.read(spark)
+        .select("clip_id").collect()
+    }
+    expected = {c for c, k in labels.items() if k and audio_keep[c]}
+    assert got == expected
+    # the gate actually bit: some transcript-kept clips were dropped
+    assert expected < {c for c, k in labels.items() if k}

@@ -11,10 +11,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from ungoliant_spark.plans.pipeline import decide
-from ungoliant_spark.sources.fixtures import CACHE_ROOT
+from ungoliant_spark.sources.fixtures import fixture_dir
 
-LABELS = os.path.abspath(os.path.join(CACHE_ROOT, "sf0.01", "labels.parquet"))
-CLIPS = os.path.abspath(os.path.join(CACHE_ROOT, "sf0.01", "clips.parquet"))
+LABELS = os.path.join(fixture_dir(0.01), "labels.parquet")
+CLIPS = os.path.join(fixture_dir(0.01), "clips.parquet")
 
 pytestmark = pytest.mark.skipif(
     not os.path.exists(LABELS),

@@ -125,7 +125,11 @@ AUDIO_EXPECTED_SCHEMA = pa.schema(
 
 
 def ensure_audio_expected(sf: float = ORACLE_SF) -> str:
-    out = os.path.join(EXPECTED_DIR, f"audio_sf{sf}_v2.parquet")
+    from ungoliant_spark.sources.fixtures import FIXTURE_VERSION
+
+    out = os.path.join(
+        EXPECTED_DIR, f"audio_sf{sf}_v3_f{FIXTURE_VERSION}.parquet"
+    )
     if os.path.exists(out):
         return out
     os.makedirs(EXPECTED_DIR, exist_ok=True)

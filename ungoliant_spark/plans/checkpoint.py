@@ -271,6 +271,7 @@ class CheckpointedRun:
         n_partitions: int | None = None,
         fail_after: int | None = None,  # test hook: simulate a crash
         files: list[str] | None = None,  # e.g. manifest_files(input)
+        audio_gate: bool = False,
     ) -> set[str]:
         """Process all not-yet-committed chunks; returns chunk ids
         committed by THIS invocation. Safe to re-run after any crash."""
@@ -286,7 +287,8 @@ class CheckpointedRun:
                 raise RuntimeError("simulated crash between snapshots")
             part = chunk_df(chunk)
             kept = pipeline_run(
-                part, term_to_category, n_partitions
+                part, term_to_category, n_partitions,
+                audio_gate=audio_gate,
             ).cache()
             try:
                 if not schema_written:

@@ -42,10 +42,42 @@ from ungoliant_spark.operators.trim import apply_trim
 DEFAULT_SALT_BUCKETS = 16
 
 
+def audio_gate_columns(clips: DataFrame) -> DataFrame:
+    """(clip_id, audio_keep, audio_warnings) — the audio-side gate
+    (operators/audio_ops.audio_quality: one shared decode pass) with
+    its drop reasons rendered as quality_warnings-style strings, so
+    the decision surface records WHY a clip's audio failed (the same
+    lineage discipline as the transcript annotators; reference
+    annotator→drop chain, /root/reference/src/pipelines/oscardoc/
+    pipeline.rs:213-226)."""
+    from ungoliant_spark.operators.audio_ops import (
+        MAX_SILENCE_RATIO,
+        audio_quality,
+    )
+
+    aq = audio_quality(clips)
+    return aq.select(
+        "clip_id",
+        "audio_keep",
+        F.array_compact(
+            F.array(
+                F.when(~F.col("decode_ok"), F.lit("audio_undecodable")),
+                F.when(F.col("too_quiet"), F.lit("audio_too_quiet")),
+                F.when(F.col("clipped"), F.lit("audio_clipped")),
+                F.when(
+                    F.col("silence_ratio") > MAX_SILENCE_RATIO,
+                    F.lit("audio_mostly_silent"),
+                ),
+            )
+        ).alias("audio_warnings"),
+    )
+
+
 def decide(
     df: DataFrame,
     term_to_category: dict[str, str] | None = None,
     prune_before_lid: bool = True,
+    audio_gate: bool = False,
 ) -> DataFrame:
     """Compute every pipeline decision column for all input rows.
 
@@ -54,6 +86,17 @@ def decide(
     O(1)), so the model cost is paid only for heuristic survivors
     while decisions stay defined for every row (needed for F1 scoring
     and lineage of drops).
+
+    With ``audio_gate`` (opt-in; default off keeps the transcript-only
+    decision surface bit-stable) the audio-side gate joins in:
+    ``keep`` additionally requires ``audio_keep``, and the audio drop
+    reasons are appended to ``quality_warnings`` so the lineage of an
+    audio-dropped clip is auditable from the decisions table exactly
+    like a transcript drop. The join is an equi-join on clip_id of
+    two narrow projections of the same scan — the audio branch ships
+    only (clip_id, bytes, codec, sr_hz) through its single decode
+    pass; ``bytes`` still never enters the transcript-side Python
+    stage.
     """
     df = apply_trim(df)
     df = apply_pfilter(df)
@@ -74,6 +117,26 @@ def decide(
     df = apply_lid(df, lines_col="_lid_input")
     df = df.drop("_lid_input")
     df = df.withColumn("keep", F.col("heuristic_keep") & F.col("lid_keep"))
+    if audio_gate:
+        aq = audio_gate_columns(df)
+        df = (
+            df.join(aq, "clip_id", "left")
+            .withColumn(
+                "audio_keep", F.coalesce("audio_keep", F.lit(False))
+            )
+            .withColumn(
+                "quality_warnings",
+                F.concat(
+                    "quality_warnings",
+                    F.coalesce(
+                        "audio_warnings",
+                        F.array().cast("array<string>"),
+                    ),
+                ),
+            )
+            .withColumn("keep", F.col("keep") & F.col("audio_keep"))
+            .drop("audio_warnings")
+        )
     if term_to_category:
         df = apply_blocklist(df, term_to_category)
     else:
@@ -146,6 +209,7 @@ def run(
     term_to_category: dict[str, str] | None = None,
     n_partitions: int | None = None,
     arpa_dir: str | None = None,
+    audio_gate: bool = False,
 ) -> DataFrame:
     """Production plan: Catalyst heuristics → ONE fused Python node
     (LID + TLSH + perplexity, operators/model_stage.py) → keep filter
@@ -200,6 +264,30 @@ def run(
         )
     kept = apply_scrub(kept)
     kept = kept.withColumn("lang_bucket", F.col("lang"))
+    if audio_gate:
+        # audio-side gate (opt-in): the gate branch re-scans ONLY
+        # (clip_id, bytes, codec, sr_hz) through the single shared
+        # decode pass and equi-joins back on clip_id — the kept rows'
+        # bytes column still never crosses Arrow, and transcript-side
+        # survivors that fail the audio gate are dropped here with
+        # their reasons recorded via decide(audio_gate=True) /
+        # audio_gate_columns for audits
+        aq = audio_gate_columns(clips)
+        kept = (
+            kept.join(aq, "clip_id", "left")
+            .withColumn(
+                "quality_warnings",
+                F.concat(
+                    "quality_warnings",
+                    F.coalesce(
+                        "audio_warnings",
+                        F.array().cast("array<string>"),
+                    ),
+                ),
+            )
+            .filter(F.coalesce("audio_keep", F.lit(False)))
+            .drop("audio_keep", "audio_warnings")
+        )
     if n_partitions:
         kept = salted_repartition(kept, n_partitions)
     return kept.select(

@@ -37,6 +37,48 @@ from ungoliant_spark.sources.audio import encode, synth_pcm
 SEED = 42
 CACHE_ROOT = os.path.join(os.path.dirname(__file__), "..", "..", ".cache", "clips")
 
+# bump whenever generated CONTENT changes: the cache directory is
+# version-keyed so stale fixtures from an older generator can never be
+# read (v2: planted audio anomalies — silent / clipped / dead-air
+# clips for the audio-side quality gate)
+FIXTURE_VERSION = 2
+
+# every k-th clip (mod position) gets a planted audio anomaly; the
+# selector depends only on the row index — the transcript rng stream
+# is untouched, so transcript-side labels are identical across
+# fixture versions. ~5.7% of clips fail the audio gate.
+AUDIO_ANOMALY_PERIOD = 53
+
+
+def fixture_dir(sf: float) -> str:
+    return os.path.abspath(
+        os.path.join(CACHE_ROOT, f"sf{sf}-v{FIXTURE_VERSION}")
+    )
+
+
+def plant_audio_anomaly(
+    i: int, pcm: np.ndarray, arng: np.random.Generator
+) -> np.ndarray:
+    """Deterministic audio-anomaly transform for row index ``i`` —
+    shared by the generator and the SNR-passthrough test so both
+    reproduce the exact planted bytes."""
+    k = i % AUDIO_ANOMALY_PERIOD
+    if k == 1:
+        # silent: recording-floor noise, RMS ~10 << the gate's 50
+        return (arng.standard_normal(len(pcm)) * 10.0).astype("<i2")
+    if k == 2:
+        # clipped capture: drive the mix past full scale
+        return np.clip(
+            pcm.astype(np.int32) * 6, -32768, 32767
+        ).astype("<i2")
+    if k == 3:
+        # mostly dead air: first 5/8 of the samples are zero, so 5 of
+        # the 8 energy frames are silent (ratio 0.625 > gate 0.5)
+        # while the overall RMS stays loud
+        pcm = pcm.copy()
+        pcm[: len(pcm) * 5 // 8] = 0
+    return pcm
+
 ADULT_TERMS = [f"badword{i:03d}" for i in range(100)]
 ADULT_CATEGORY = "adult"
 
@@ -253,7 +295,7 @@ def make_row(i: int, rng: random.Random, small_audio: bool):
             sr = 16000
     codec = rng.choice(["pcm_s16le", "wav"])
     arng = np.random.default_rng(SEED * 1_000_003 + i)
-    pcm = synth_pcm(arng, sr, dur)
+    pcm = plant_audio_anomaly(i, synth_pcm(arng, sr, dur), arng)
     return {
         "clip_id": f"clip-{i:08d}",
         "bytes": encode(pcm, sr, codec),
@@ -359,7 +401,7 @@ def regenerate_labels(sf: float, out_dir: str | None = None) -> str:
     """Recompute labels.parquet from an existing clips.parquet (after
     a frozen-spec change, e.g. new ARPA artifacts) without touching
     the clips bytes."""
-    out_dir = out_dir or os.path.abspath(os.path.join(CACHE_ROOT, f"sf{sf}"))
+    out_dir = out_dir or fixture_dir(sf)
     clips_path = os.path.join(out_dir, "clips.parquet")
     labels_path = os.path.join(out_dir, "labels.parquet")
     pf = pq.ParquetFile(clips_path)
@@ -384,10 +426,8 @@ def generate(
     force: bool = False,
 ) -> str:
     """Write clips.parquet (+ labels.parquet) for a scale factor;
-    returns the directory. Cached by (sf, SEED)."""
-    out_dir = out_dir or os.path.abspath(
-        os.path.join(CACHE_ROOT, f"sf{sf}")
-    )
+    returns the directory. Cached by (sf, SEED, FIXTURE_VERSION)."""
+    out_dir = out_dir or fixture_dir(sf)
     clips_path = os.path.join(out_dir, "clips.parquet")
     labels_path = os.path.join(out_dir, "labels.parquet")
     done = os.path.exists(clips_path) and (
