@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_frames": cq.q_audio_frames,
         "audio_resample": cq.q_audio_resample,
         "audio_quality": cq.q_audio_quality,
+        "audio_dup_pairs": cq.q_audio_dup_pairs,
         "lid_documents": cq.q_lid_documents,
     }
 
@@ -130,5 +131,6 @@ def oracle_sql() -> dict[str, str]:
         "audio_frames": osqlc.oracle_audio_frames(),
         "audio_resample": osqlc.oracle_audio_resample(),
         "audio_quality": osqlc.oracle_audio_quality(),
+        "audio_dup_pairs": osqlc.oracle_audio_dup_pairs(),
         "lid_documents": osqlc.oracle_lid_documents(),
     }

@@ -1,0 +1,143 @@
+"""Acoustic-fingerprint near-dup detection (audio_ops.audio_dup_pairs).
+
+The fixture plants a near-dup re-upload every DUP_PERIOD rows
+(sources/fixtures.py: same PCM as the previous clip, gain 0.75, light
+noise floor, independently drawn container) — exactly the duplicate
+class text dedup cannot catch, since the transcript stays the row's
+own. These tests pin: the fingerprint kernel twins are bit-identical,
+the fingerprint is gain-invariant by construction, planted dups are
+recalled while unrelated clips stay far away in Hamming space, and the
+banded pair join stays cartesian-free (the same lossless-LSH plan
+shape already gated for text simhash).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ungoliant_spark.operators.audio_ops import (
+    AFP_BANDS,
+    afp63,
+    audio_dup_pairs,
+    audio_stats,
+)
+from ungoliant_spark.sources.fixtures import (
+    DUP_OFFSET,
+    DUP_PERIOD,
+    generate,
+    is_dup_row,
+)
+
+SF = 0.001
+
+
+@pytest.fixture(scope="module")
+def fx_dir():
+    return generate(SF)
+
+
+def test_afp_kernel_twins_bit_identical():
+    """Engine kernel (add.at + padded concatenate) vs the oracle's
+    independently-coded twin (bincount + slice sums) on random
+    spectra: same 63-bit word, always."""
+    from ungoliant_spark.oracle_sql_clips import _afp_independent
+
+    rng = np.random.default_rng(7)
+    for sr in (8000, 16000, 44100):
+        for _ in range(50):
+            n = int(rng.integers(64, 4096))
+            spec = rng.random(n // 2 + 1) * rng.choice([1.0, 1e-6, 1e6])
+            freqs = np.fft.rfftfreq(n, d=1.0 / sr)
+            assert afp63(spec, freqs) == _afp_independent(spec, freqs, sr)
+
+
+def test_afp_gain_invariance():
+    """Positive gain rescales every band energy by the same factor, so
+    every sign bit survives — the property that makes the fingerprint
+    catch the fixture's 0.75-gain re-uploads."""
+    rng = np.random.default_rng(11)
+    spec = rng.random(513)
+    freqs = np.fft.rfftfreq(1024, d=1.0 / 16000)
+    word = afp63(spec, freqs)
+    for gain in (0.1, 0.75, 3.7, 1000.0):
+        assert afp63(spec * gain, freqs) == word
+    assert word.bit_length() <= 63  # BIGINT-safe, no sign-bit traps
+
+
+def _eligible_pairs(n: int) -> set[tuple[str, str]]:
+    return {
+        (f"clip-{i - 1:08d}", f"clip-{i:08d}")
+        for i in range(n)
+        if is_dup_row(i)
+    }
+
+
+def test_planted_dups_recalled_and_nothing_else(spark, fx_dir):
+    """Every found pair is a planted (prev, dup) pair — precision 1.0
+    against the plant rule — and recall at the default threshold is
+    high (the noise floor occasionally flips a 4th bit; those planted
+    pairs are the documented miss class, not unrelated collisions)."""
+    clips = spark.read.parquet(f"{fx_dir}/clips.parquet")
+    n = clips.count()
+    got = {
+        (r["clip_a"], r["clip_b"])
+        for r in audio_dup_pairs(clips).collect()
+    }
+    planted = _eligible_pairs(n)
+    assert got <= planted, got - planted  # no false pairs at all
+    assert len(got) >= 0.8 * len(planted), (len(got), len(planted))
+
+
+def test_unrelated_clips_far_in_hamming(spark, fx_dir):
+    """Separation: across every non-planted pair in a 150-clip sample
+    (~11k pairs), minimum Hamming distance stays an order of magnitude
+    above the threshold — near-dup hits are signal, not collision
+    luck. (Docstring claim: planted p95 = 3 vs >= 19 unrelated.)"""
+    clips = spark.read.parquet(f"{fx_dir}/clips.parquet").limit(150)
+    rows = (
+        audio_stats(clips)
+        .filter(F.col("decode_ok"))
+        .select("clip_id", "afp")
+        .collect()
+    )
+    fps = {r["clip_id"]: r["afp"] for r in rows}
+    ids = sorted(fps)
+    min_unrelated = 63
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if (a, b) in _eligible_pairs(len(ids)):
+                continue
+            d = bin(fps[a] ^ fps[b]).count("1")
+            min_unrelated = min(min_unrelated, d)
+    assert min_unrelated >= 10, min_unrelated
+
+
+def test_dup_rows_survive_anomaly_skip():
+    """The plant rule never lands on (or right after) a planted
+    anomaly row, so the anomaly classes stay pure and every dup pair
+    has a decodable, gate-clean base."""
+    dup_rows = [i for i in range(5000) if is_dup_row(i)]
+    assert dup_rows, "plant rule produced no rows"
+    assert all(i % DUP_PERIOD == DUP_OFFSET for i in dup_rows)
+    from ungoliant_spark.sources.fixtures import AUDIO_ANOMALY_PERIOD
+
+    for i in dup_rows:
+        assert i % AUDIO_ANOMALY_PERIOD not in (1, 2, 3)
+        assert (i - 1) % AUDIO_ANOMALY_PERIOD not in (1, 2, 3)
+
+
+def test_audio_dup_plan_cartesian_free(spark, fx_dir):
+    """The banded-Hamming join inherits text simhash's lossless-LSH
+    plan shape: equi-join on (band, chunk), no CartesianProduct, no
+    BroadcastNestedLoopJoin anywhere in the executed plan."""
+    clips = spark.read.parquet(f"{fx_dir}/clips.parquet")
+    plan = (
+        audio_dup_pairs(clips)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -157,13 +157,10 @@ def test_pcm_passthrough_snr(spark, fixture_dir):
         64
     ).collect()
     assert sample
-    from ungoliant_spark.sources.fixtures import plant_audio_anomaly
+    from ungoliant_spark.sources.fixtures import expected_pcm
 
     for r in sample:
         i = int(r["clip_id"].split("-")[1])
-        rng = np.random.default_rng(SEED * 1_000_003 + i)
-        expected = plant_audio_anomaly(
-            i, synth_pcm(rng, r["sr_hz"], r["dur_ms"]), rng
-        )
+        expected = expected_pcm(i, r["sr_hz"], r["dur_ms"])
         got = decode(bytes(r["bytes"]), r["codec"])
         assert snr_db(expected, got) >= 30.0, r["clip_id"]

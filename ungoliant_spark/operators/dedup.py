@@ -716,6 +716,22 @@ def simhash_pairs(
     (Hamming is a function of the two hash words alone) — the output
     is bit-identical to the naive form, which the DuckDB oracle keeps
     as proof."""
+    sh = simhash63_table(df, id_col, text_col)
+    return hamming_pairs(sh, "simhash", id_col, max_hamming, max_cluster_size)
+
+
+def hamming_pairs(
+    hashed: DataFrame,
+    hash_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """All pairs (id_a < id_b) of rows whose 63-bit ``hash_col`` words
+    differ in ≤ ``max_hamming`` bits — the generic engine behind
+    :func:`simhash_pairs` (text) and audio_ops.audio_dup_pairs
+    (acoustic fingerprints). Lossless banded LSH + the degenerate-
+    bucket hardening documented on :func:`simhash_pairs`."""
     if max_hamming > len(SIMHASH_BANDS) - 1:
         raise ValueError(
             f"max_hamming={max_hamming} exceeds the lossless bound "
@@ -723,18 +739,17 @@ def simhash_pairs(
             "pigeonhole candidate generation; results would silently "
             "miss pairs. Add bands (SIMHASH_BANDS) to raise the bound."
         )
-    sh = simhash63_table(df, id_col, text_col)
     # 4 consumers, exchange reuse can't unify (see jaccard_pairs)
-    groups = _dup_groups(sh, "simhash", id_col, max_cluster_size)
+    groups = _dup_groups(hashed, hash_col, id_col, max_cluster_size)
     banded = groups.select(
         F.col("rep").alias("id"),
-        "simhash",
+        hash_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.shiftright(F.col("simhash"), off)
+                        F.shiftright(F.col(hash_col), off)
                         .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("chunk"),
                     )
@@ -744,7 +759,7 @@ def simhash_pairs(
         ).alias("bh"),
     ).select(
         "id",
-        "simhash",
+        hash_col,
         F.col("bh.band").alias("band"),
         F.col("bh.chunk").alias("chunk"),
     )
@@ -759,8 +774,8 @@ def simhash_pairs(
         .select(
             F.col("a.id").alias("rep_a"),
             F.col("b.id").alias("rep_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col(f"a.{hash_col}").alias("sh_a"),
+            F.col(f"b.{hash_col}").alias("sh_b"),
         )
         .dropDuplicates(["rep_a", "rep_b"])
     )

@@ -52,6 +52,25 @@ def _decode_wav_independent(data: bytes) -> np.ndarray:
     raise ValueError("no data chunk")
 
 
+def _afp_independent(spec: np.ndarray, freqs: np.ndarray, sr: int) -> int:
+    """Independently-coded twin of audio_ops.afp63: np.bincount
+    accumulation instead of add.at, slice sums instead of a padded
+    concatenate. Both accumulate bins in ascending index order and
+    quantize the smoothed band energies to float32 before the strict
+    sign compare, so the words are bit-identical."""
+    from ungoliant_spark.operators.audio_ops import AFP_BANDS, AFP_FMAX
+
+    e = np.square(spec)
+    idx = np.floor(freqs * AFP_BANDS / AFP_FMAX).astype(np.int64)
+    m = (idx >= 0) & (idx < AFP_BANDS)
+    bands = np.bincount(idx[m], weights=e[m], minlength=AFP_BANDS)[:AFP_BANDS]
+    left = np.concatenate(([0.0], bands[:-1]))
+    right = np.concatenate((bands[1:], [0.0]))
+    smooth = ((left + bands) + right).astype(np.float32)
+    bits = smooth[:-1] > smooth[1:]
+    return int(sum(1 << b for b in range(AFP_BANDS - 1) if bits[b]))
+
+
 def _expected_audio_rows(clip_id, data, codec, sr):
     if codec == "pcm_s16le":
         pcm = np.frombuffer(data, dtype="<i2")
@@ -61,7 +80,7 @@ def _expected_audio_rows(clip_id, data, codec, sr):
         return {
             "clip_id": clip_id, "decode_ok": False, "n_samples": None,
             "rms": None, "peak": None, "zcr": None, "centroid_hz": None,
-            "frame_energy": None,
+            "frame_energy": None, "afp": None,
             "target_sr": 16000, "n_samples_out": None, "n_bytes_out": None,
         }
     x = pcm.astype(np.float64)
@@ -69,6 +88,7 @@ def _expected_audio_rows(clip_id, data, codec, sr):
     if n == 0:
         rms, peak, zcr, centroid = 0.0, 0, 0.0, 0.0
         frames = [0.0] * 8
+        afp = 0
     else:
         rms = float(np.sqrt((x * x).sum() / n))
         peak = int(np.abs(pcm).max())
@@ -83,6 +103,7 @@ def _expected_audio_rows(clip_id, data, codec, sr):
         freqs = np.fft.rfftfreq(len(seg), d=1.0 / sr)
         denom = float(spec.sum())
         centroid = float((freqs * spec).sum() / denom) if denom > 0 else 0.0
+        afp = _afp_independent(spec, freqs, sr)
         bounds = np.linspace(0, n, 9, dtype=int)
         frames = [
             float(np.sqrt(np.sum(x[a:b] * x[a:b]) / (b - a)))
@@ -101,6 +122,7 @@ def _expected_audio_rows(clip_id, data, codec, sr):
         "zcr": np.float32(zcr),
         "centroid_hz": np.float32(centroid),
         "frame_energy": [np.float32(f) for f in frames],
+        "afp": afp,
         "target_sr": 16000,
         "n_samples_out": n_out,
         "n_bytes_out": 2 * n_out,
@@ -117,6 +139,7 @@ AUDIO_EXPECTED_SCHEMA = pa.schema(
         ("zcr", pa.float32()),
         ("centroid_hz", pa.float32()),
         ("frame_energy", pa.list_(pa.float32())),
+        ("afp", pa.int64()),
         ("target_sr", pa.int32()),
         ("n_samples_out", pa.int64()),
         ("n_bytes_out", pa.int64()),
@@ -128,7 +151,7 @@ def ensure_audio_expected(sf: float = ORACLE_SF) -> str:
     from ungoliant_spark.sources.fixtures import FIXTURE_VERSION
 
     out = os.path.join(
-        EXPECTED_DIR, f"audio_sf{sf}_v3_f{FIXTURE_VERSION}.parquet"
+        EXPECTED_DIR, f"audio_sf{sf}_v4_f{FIXTURE_VERSION}.parquet"
     )
     if os.path.exists(out):
         return out
@@ -242,8 +265,29 @@ SELECT clip_id, decode_ok, n_samples,
   round(rms::DOUBLE, 3) AS rms,
   peak,
   round(zcr::DOUBLE, 5) AS zcr,
-  round(centroid_hz::DOUBLE, 2) AS centroid_hz
+  round(centroid_hz::DOUBLE, 2) AS centroid_hz,
+  afp
 FROM read_parquet('{exp}')
+"""
+
+
+def oracle_audio_dup_pairs() -> str:
+    """Naive O(n²) twin of the engine's banded-LSH acoustic-fingerprint
+    pair join: every decodable pair, xor + bit_count, threshold — the
+    structure-free proof that the lossless banding misses nothing and
+    invents nothing. Fingerprints come from the independent-decode
+    expected table (independent RIFF walk + independently-coded
+    fingerprint kernel). The ≤ 3 threshold is the engine default
+    (audio_ops.audio_dup_pairs max_hamming=3)."""
+    exp = ensure_audio_expected()
+    return f"""
+SELECT a.clip_id AS clip_a, b.clip_id AS clip_b,
+  CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
+FROM read_parquet('{exp}') a
+JOIN read_parquet('{exp}') b
+  ON a.clip_id < b.clip_id
+WHERE a.decode_ok AND b.decode_ok
+  AND bit_count(xor(a.afp, b.afp)) <= 3
 """
 
 

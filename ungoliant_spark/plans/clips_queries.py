@@ -110,6 +110,7 @@ def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak",
         F.round(F.col("zcr").cast("double"), 5).alias("zcr"),
         F.round(F.col("centroid_hz").cast("double"), 2).alias("centroid_hz"),
+        "afp",
     )
 
 
@@ -133,6 +134,18 @@ def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clip_id", "target_sr", "n_samples_out",
         F.octet_length("bytes_out").alias("n_bytes_out"),
     )
+
+
+def q_audio_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic-fingerprint near-dup pairs
+    (operators/audio_ops.audio_dup_pairs): the fixture plants a
+    near-dup re-upload every DUP_PERIOD rows (same PCM, new gain +
+    noise floor, possibly a different container); the oracle is the
+    naive O(n²) bit_count join over the independent-decode expected
+    fingerprints."""
+    from ungoliant_spark.operators.audio_ops import audio_dup_pairs
+
+    return audio_dup_pairs(load_clips(spark, sf_dir))
 
 
 def q_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

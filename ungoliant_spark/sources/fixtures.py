@@ -40,14 +40,63 @@ CACHE_ROOT = os.path.join(os.path.dirname(__file__), "..", "..", ".cache", "clip
 # bump whenever generated CONTENT changes: the cache directory is
 # version-keyed so stale fixtures from an older generator can never be
 # read (v2: planted audio anomalies — silent / clipped / dead-air
-# clips for the audio-side quality gate)
-FIXTURE_VERSION = 2
+# clips for the audio-side quality gate; v3: planted audio near-dup
+# pairs — every DUP_PERIOD-th clip is a gain-scaled + lightly-noised
+# re-upload of the previous clip's PCM — for the acoustic-fingerprint
+# dedup operator)
+FIXTURE_VERSION = 3
 
 # every k-th clip (mod position) gets a planted audio anomaly; the
 # selector depends only on the row index — the transcript rng stream
 # is untouched, so transcript-side labels are identical across
 # fixture versions. ~5.7% of clips fail the audio gate.
 AUDIO_ANOMALY_PERIOD = 53
+
+# every DUP_PERIOD-th clip (at offset DUP_OFFSET) replaces its audio
+# with a near-duplicate of the PREVIOUS clip's PCM: same sample rate
+# and duration, gain 0.75, small additive noise, independently drawn
+# codec (container may differ — the audio fingerprint must see through
+# that). Transcripts stay the row's own (an audio re-upload with a
+# different caption is exactly what text dedup cannot catch). Rows
+# where either side carries a planted anomaly are skipped so the
+# anomaly classes stay pure. ~2.3% of clips are near-dups.
+DUP_PERIOD = 41
+DUP_OFFSET = 23
+
+
+def is_dup_row(i: int) -> bool:
+    return (
+        i % DUP_PERIOD == DUP_OFFSET
+        and i >= 1
+        and i % AUDIO_ANOMALY_PERIOD not in (1, 2, 3)
+        and (i - 1) % AUDIO_ANOMALY_PERIOD not in (1, 2, 3)
+    )
+
+
+def plant_audio_dup(i: int, base: np.ndarray) -> np.ndarray:
+    """Deterministic near-dup transform for dup row ``i`` over the
+    previous row's PCM: re-upload with different gain and a light
+    noise floor (sigma 60 against a ~9000-amplitude signal)."""
+    drng = np.random.default_rng(SEED * 2_000_003 + i)
+    return np.clip(
+        base.astype(np.float64) * 0.75
+        + drng.standard_normal(len(base)) * 60.0,
+        -32768,
+        32767,
+    ).astype("<i2")
+
+
+def expected_pcm(i: int, sr: int, dur_ms: int) -> np.ndarray:
+    """Reconstruct row ``i``'s final PCM from (row index, stored
+    sr_hz, stored dur_ms) alone — shared by the generator, the SNR
+    passthrough test, and the fingerprint recall test. For dup rows
+    the stored sr/dur are the PREVIOUS row's, so the base signal is
+    re-synthesized from the previous row's audio rng stream."""
+    if is_dup_row(i):
+        base_rng = np.random.default_rng(SEED * 1_000_003 + (i - 1))
+        return plant_audio_dup(i, synth_pcm(base_rng, sr, dur_ms))
+    arng = np.random.default_rng(SEED * 1_000_003 + i)
+    return plant_audio_anomaly(i, synth_pcm(arng, sr, dur_ms), arng)
 
 
 def fixture_dir(sf: float) -> str:
@@ -281,7 +330,12 @@ def adult_categories(content: str) -> list[str] | None:
     return hits or None
 
 
-def make_row(i: int, rng: random.Random, small_audio: bool):
+def make_row(
+    i: int,
+    rng: random.Random,
+    small_audio: bool,
+    prev_audio: tuple[int, int] | None = None,
+):
     name, fn, _ = _pick_case(rng)
     lang = _pick_lang(rng)
     transcript = fn(rng, lang)
@@ -294,8 +348,13 @@ def make_row(i: int, rng: random.Random, small_audio: bool):
             dur = rng.randint(30_000, 60_000)
             sr = 16000
     codec = rng.choice(["pcm_s16le", "wav"])
-    arng = np.random.default_rng(SEED * 1_000_003 + i)
-    pcm = plant_audio_anomaly(i, synth_pcm(arng, sr, dur), arng)
+    if is_dup_row(i) and prev_audio is not None:
+        # near-dup plant: the drawn sr/dur above are CONSUMED (the
+        # transcript rng stream stays identical across fixture
+        # versions) but the stored audio metadata is the previous
+        # row's, matching the duplicated PCM
+        sr, dur = prev_audio
+    pcm = expected_pcm(i, sr, dur)
     return {
         "clip_id": f"clip-{i:08d}",
         "bytes": encode(pcm, sr, codec),
@@ -447,8 +506,10 @@ def generate(
     )
     chunk: list[dict] = []
     lchunk: list[dict] = []
+    prev_audio: tuple[int, int] | None = None
     for i in range(n):
-        row = make_row(i, rng, small_audio)
+        row = make_row(i, rng, small_audio, prev_audio)
+        prev_audio = (row["sr_hz"], row["dur_ms"])
         chunk.append(row)
         if labels_writer is not None:
             lchunk.append(label_row(row["clip_id"], row["transcript"]))
