@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_resample": cq.q_audio_resample,
         "audio_quality": cq.q_audio_quality,
         "audio_dup_pairs": cq.q_audio_dup_pairs,
+        "audio_dup_components": cq.q_audio_dup_components,
         "lid_documents": cq.q_lid_documents,
     }
 
@@ -132,5 +133,6 @@ def oracle_sql() -> dict[str, str]:
         "audio_resample": osqlc.oracle_audio_resample(),
         "audio_quality": osqlc.oracle_audio_quality(),
         "audio_dup_pairs": osqlc.oracle_audio_dup_pairs(),
+        "audio_dup_components": osqlc.oracle_audio_dup_components(),
         "lid_documents": osqlc.oracle_lid_documents(),
     }

@@ -139,6 +139,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="follow-on pass over the committed kept table: "
                         "write clip_id -> Gopher-style repetition "
                         "signals (dup{n}_frac / top{n}_char_frac)")
+    p.add_argument("--audio-dedup", action="store_true",
+                   help="follow-on pass over the committed kept table: "
+                        "write clip_id -> component_rep acoustic "
+                        "near-dup clusters (63-bit fingerprint, "
+                        "operators/audio_ops.audio_dup_components) — "
+                        "catches re-uploaded audio whose transcript "
+                        "differs, which --dedup (text-side) cannot")
     args = p.parse_args(argv)
 
     # Under spark-submit the JVM already exists (PYSPARK_GATEWAY_PORT
@@ -443,6 +450,21 @@ def main(argv: list[str] | None = None) -> int:
         )
         rp_out = write_aux(sig, "repetition")
         print(f"repetition signals -> {rp_out}")
+    if args.audio_dedup:
+        # acoustic-side twin of --dedup: cross-chunk by nature, pure
+        # function of the kept table, atomically overwritten on
+        # re-runs. Reads only (clip_id, bytes, codec, sr_hz) into the
+        # single decode pass; the component mapping is rep-level
+        # (dedup.hamming_components), no clip-pair list in the plan.
+        from ungoliant_spark.operators.audio_ops import (
+            audio_dup_components,
+        )
+        from ungoliant_spark.operators.dedup import group_cache_scope
+
+        with group_cache_scope():
+            comp = audio_dup_components(read_kept())
+            ad_out = write_aux(comp, "audio_dedup")
+        print(f"audio dedup mapping -> {ad_out}")
     spark.stop()
     return 0
 

@@ -128,11 +128,37 @@ def test_dup_rows_survive_anomaly_skip():
         assert (i - 1) % AUDIO_ANOMALY_PERIOD not in (1, 2, 3)
 
 
+def test_audio_dup_components_cluster_plants(spark, fx_dir):
+    """Every planted (prev, dup) pair lands in the same component
+    with the lower clip as rep; everything unplanted is a singleton —
+    the clusters a dedup pass would keep one representative from."""
+    from ungoliant_spark.operators.audio_ops import audio_dup_components
+
+    clips = spark.read.parquet(f"{fx_dir}/clips.parquet")
+    n = clips.count()
+    comp = {
+        r["clip_id"]: r["component_rep"]
+        for r in audio_dup_components(clips).collect()
+    }
+    assert len(comp) == n  # all clips decodable in this fixture
+    planted = _eligible_pairs(n)
+    clustered = {cid for cid, rep in comp.items() if rep != cid}
+    # every clustered clip is the dup side of a planted pair, with
+    # its predecessor as rep
+    for cid in clustered:
+        i = int(cid.split("-")[1])
+        assert is_dup_row(i), cid
+        assert comp[cid] == f"clip-{i - 1:08d}", (cid, comp[cid])
+    assert len(clustered) >= 0.8 * len(planted)
+
+
 def test_audio_dup_plan_cartesian_free(spark, fx_dir):
     """The banded-Hamming join inherits text simhash's lossless-LSH
     plan shape: equi-join on (band, chunk), no CartesianProduct, no
     BroadcastNestedLoopJoin anywhere in the executed plan."""
     clips = spark.read.parquet(f"{fx_dir}/clips.parquet")
+    from ungoliant_spark.operators.audio_ops import audio_dup_components
+
     plan = (
         audio_dup_pairs(clips)
         ._jdf.queryExecution()
@@ -141,3 +167,13 @@ def test_audio_dup_plan_cartesian_free(spark, fx_dir):
     )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the components composition inherits the rep-level no-pair-list
+    # gate already enforced for the text families
+    cplan = (
+        audio_dup_components(clips)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "collect_list" not in cplan, cplan
+    assert "CartesianProduct" not in cplan, cplan

@@ -275,6 +275,29 @@ def test_cli_dedup_follow_on_pass(spark, tmp_path):
     assert {"clip_id", "dup2_frac", "top2_char_frac",
             "dup3_frac", "top3_char_frac"} <= set(rp.columns)
 
+    # --audio-dedup (round-6): acoustic near-dup clusters over the
+    # kept table — total mapping, and every non-singleton cluster is
+    # a planted (prev, dup) re-upload pair with both sides kept
+    from ungoliant_spark.sources.fixtures import is_dup_row
+
+    stdout = _run_cli(["--input", clips, "--output", out, "--chunks", "2",
+                       "--audio-dedup"])
+    assert "audio dedup mapping" in stdout
+    ad = spark.read.parquet(os.path.join(out, "audio_dedup"))
+    assert set(ad.columns) == {"clip_id", "component_rep"}
+    assert ad.count() == n_kept
+    assert kept.join(ad, "clip_id").count() == n_kept
+    clustered = {
+        r["clip_id"]: r["component_rep"]
+        for r in ad.filter(
+            F.col("clip_id") != F.col("component_rep")
+        ).collect()
+    }
+    assert clustered, "no audio near-dup survived the transcript gate"
+    for cid, rep in clustered.items():
+        i = int(cid.split("-")[1])
+        assert is_dup_row(i) and rep == f"clip-{i - 1:08d}", (cid, rep)
+
 
 def test_cli_snapshot_table_input_uses_manifest(spark, tmp_path):
     """A SnapshotTable root as --input: the CLI reads the committed

@@ -289,3 +289,32 @@ def audio_dup_pairs(clips: DataFrame, max_hamming: int = 3) -> DataFrame:
         F.col("id_b").alias("clip_b"),
         "hamming",
     )
+
+
+def audio_dup_components(
+    clips: DataFrame, max_hamming: int = 3, max_iterations: int = 20
+) -> DataFrame:
+    """(clip_id, component_rep) — acoustic near-dup CLUSTERS, the
+    deliverable a dedup pass actually consumes (keep component_rep,
+    drop the rest). Built on the generic rep-level machinery
+    (dedup.hamming_components): the graph lives over DISTINCT
+    fingerprint values, label propagation runs on fingerprint reps
+    only, and clips join their label in one final step — no clip-level
+    pair list anywhere in the plan, the same crawl-scale shape
+    plan-gated for text simhash components. Undecodable clips are
+    excluded (no fingerprint ⇒ no dedup evidence); callers keep them
+    via a left join if they want an explicit "unknown" class."""
+    from ungoliant_spark.operators.dedup import hamming_components
+
+    fp = (
+        audio_stats(clips)
+        .filter(F.col("decode_ok") & F.col("afp").isNotNull())
+        .select("clip_id", "afp")
+    )
+    return hamming_components(
+        fp,
+        hash_col="afp",
+        id_col="clip_id",
+        max_hamming=max_hamming,
+        max_iterations=max_iterations,
+    )

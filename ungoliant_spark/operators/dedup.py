@@ -996,6 +996,26 @@ def simhash_components(
     components of the rep graph. The driver oracle recomputes the
     DOC-level graph's components with a recursive CTE, so the
     equivalence is hash-checked, not assumed."""
+    sh = simhash63_table(df, id_col, text_col)
+    return hamming_components(
+        sh, "simhash", id_col, max_hamming, max_iterations
+    )
+
+
+def hamming_components(
+    hashed: DataFrame,
+    hash_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(id, component_rep) over the Hamming-<=``max_hamming`` graph of
+    a 63-bit ``hash_col`` table — the generic rep-level engine behind
+    :func:`simhash_components` (text) and
+    audio_ops.audio_dup_components (acoustic fingerprints). See
+    :func:`simhash_components` for the rep-graph correctness argument
+    (Hamming 0 iff identical hash, so doc components are exactly the
+    expansion of rep components)."""
     if max_hamming > len(SIMHASH_BANDS) - 1:
         raise ValueError(
             f"max_hamming={max_hamming} exceeds the lossless bound "
@@ -1003,22 +1023,21 @@ def simhash_components(
             "pigeonhole candidate generation; results would silently "
             "miss pairs. Add bands (SIMHASH_BANDS) to raise the bound."
         )
-    sh = simhash63_table(df, id_col, text_col)
     # persisted: feeds the doc→rep join, the banded self-join (twice)
     # and the component node set; released by unpersist_group_tables
     reps = _persist_groups(
-        sh.groupBy("simhash").agg(F.min(id_col).alias("rep"))
+        hashed.groupBy(hash_col).agg(F.min(id_col).alias("rep"))
     )
-    doc_rep = sh.join(reps, "simhash").select(id_col, "rep")
+    doc_rep = hashed.join(reps, hash_col).select(id_col, "rep")
     banded = reps.select(
         "rep",
-        "simhash",
+        hash_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.shiftright(F.col("simhash"), off)
+                        F.shiftright(F.col(hash_col), off)
                         .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("chunk"),
                     )
@@ -1028,7 +1047,7 @@ def simhash_components(
         ).alias("bh"),
     ).select(
         "rep",
-        "simhash",
+        hash_col,
         F.col("bh.band").alias("band"),
         F.col("bh.chunk").alias("chunk"),
     )
@@ -1042,7 +1061,7 @@ def simhash_components(
         )
         .filter(
             F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
             )
             <= max_hamming
         )

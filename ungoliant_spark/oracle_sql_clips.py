@@ -291,6 +291,36 @@ WHERE a.decode_ok AND b.decode_ok
 """
 
 
+def oracle_audio_dup_components() -> str:
+    """Recursive-CTE transitive closure over the naive O(n²)
+    fingerprint pair set — min reachable clip per node over
+    bidirectional edges. The engine computes the same fixpoint by
+    rep-level label propagation without ever materializing clip-level
+    pairs; the hash match proves the rep composition clusters
+    identically (same twin discipline as oracle_dedup_components)."""
+    exp = ensure_audio_expected()
+    return f"""
+WITH RECURSIVE nodes AS (
+  SELECT clip_id FROM read_parquet('{exp}') WHERE decode_ok
+), pairs AS (
+  SELECT a.clip_id AS id_a, b.clip_id AS id_b
+  FROM read_parquet('{exp}') a
+  JOIN read_parquet('{exp}') b ON a.clip_id < b.clip_id
+  WHERE a.decode_ok AND b.decode_ok
+    AND bit_count(xor(a.afp, b.afp)) <= 3
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(id, r) AS (
+  SELECT clip_id, clip_id FROM nodes
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+)
+SELECT id AS clip_id, min(r) AS component_rep FROM reach GROUP BY id
+"""
+
+
 def oracle_audio_frames() -> str:
     exp = ensure_audio_expected()
     return f"""

@@ -148,6 +148,17 @@ def q_audio_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_dup_pairs(load_clips(spark, sf_dir))
 
 
+def q_audio_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic near-dup clusters
+    (operators/audio_ops.audio_dup_components): rep-level label
+    propagation over distinct fingerprints; the oracle recomputes the
+    CLIP-level graph's components with a recursive CTE, so the
+    rep-graph equivalence is hash-checked, not assumed."""
+    from ungoliant_spark.operators.audio_ops import audio_dup_components
+
+    return audio_dup_components(load_clips(spark, sf_dir))
+
+
 def q_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-side quality gate (operators/audio_ops.audio_quality):
     pure Catalyst over the hash-verified stats features; the oracle
