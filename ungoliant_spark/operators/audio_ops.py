@@ -291,6 +291,84 @@ def audio_dup_pairs(clips: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+def speech_rate(
+    clips: DataFrame,
+    min_tps: float = 0.25,
+    max_tps: float = 7.5,
+) -> DataFrame:
+    """(clip_id, n_tokens, dur_s, tokens_per_s, rate_ok) — the
+    CROSS-MODAL sanity gate neither side can compute alone: a
+    transcript whose token count is implausible for the clip's
+    duration (default plausible band 0.25–7.5 tokens/s around human
+    speech) signals a mismatched upload, machine-generated caption,
+    or truncated audio. Pure Catalyst over (transcript, dur_ms) — no
+    decode, no Python; at crawl scale this is a free annotation
+    inside whatever scan already reads the transcript. Token rule =
+    whitespace split with empties dropped, matching the DuckDB twin
+    exactly."""
+    toks = F.size(
+        F.filter(
+            F.split(F.col("transcript"), r"\s+"), lambda x: x != ""
+        )
+    )
+    # bit-deterministic across engines: ONE IEEE division each, no
+    # compounding of rounded intermediates (the DuckDB twin computes
+    # the identical expressions)
+    dur_s = F.col("dur_ms").cast("double") / 1000.0
+    tps = F.round(
+        toks.cast("double") * 1000.0 / F.col("dur_ms").cast("double"), 4
+    )
+    return clips.select(
+        "clip_id",
+        toks.alias("n_tokens"),
+        dur_s.alias("dur_s"),
+        tps.alias("tokens_per_s"),
+        ((tps >= min_tps) & (tps <= max_tps)).alias("rate_ok"),
+    )
+
+
+def audio_vad(clips: DataFrame, threshold: float = RMS_SILENCE) -> DataFrame:
+    """(clip_id, decode_ok, n_active, active_ratio, longest_run) —
+    energy-based voice-activity signals over the 8 per-clip frame
+    energies: frames at or above ``threshold`` RMS count as active,
+    and ``longest_run`` is the longest consecutive active stretch (a
+    clip with energy but no sustained run is bursts/noise, not
+    speech). Computed with JVM-side higher-order array functions over
+    the shared :func:`audio_stats` decode pass — the run-length scan
+    is an O(8) ``F.aggregate`` fold per row, no shuffle, no second
+    Arrow trip. Undecodable clips keep their row with null signals
+    (total annotation, same contract as audio_quality)."""
+    st = audio_stats(clips)
+    active = F.transform(
+        "frame_energy",
+        lambda e: (e >= F.lit(threshold)).cast("int"),
+    )
+    n_active = F.aggregate(
+        active, F.lit(0), lambda acc, x: acc + x
+    )
+    zero2 = F.struct(
+        F.lit(0).alias("cur"), F.lit(0).alias("best")
+    )
+
+    def _run_step(acc, x):
+        cur = F.when(x == 1, acc.cur + 1).otherwise(F.lit(0))
+        return F.struct(
+            cur.alias("cur"),
+            F.greatest(acc.best, cur).alias("best"),
+        )
+
+    longest = F.aggregate(active, zero2, _run_step, lambda a: a.best)
+    return st.select(
+        "clip_id",
+        "decode_ok",
+        n_active.alias("n_active"),
+        F.round(n_active.cast("double") / N_FRAMES, 3).alias(
+            "active_ratio"
+        ),
+        longest.alias("longest_run"),
+    )
+
+
 def audio_dup_components(
     clips: DataFrame, max_hamming: int = 3, max_iterations: int = 20
 ) -> DataFrame:

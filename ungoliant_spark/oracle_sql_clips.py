@@ -321,6 +321,76 @@ SELECT id AS clip_id, min(r) AS component_rep FROM reach GROUP BY id
 """
 
 
+def oracle_speech_rate() -> str:
+    """Closed-form twin of audio_ops.speech_rate on the raw clips
+    table (no decode involved): whitespace-split token count with
+    empties dropped, duration from the stored dur_ms. Arithmetic is
+    kept bit-deterministic across engines: dur_s = dur_ms/1000.0
+    (same single IEEE division both sides, no re-rounding) and
+    tokens_per_s = round(n_tokens*1000.0/dur_ms, 4) (integer
+    numerator, one division)."""
+    clips = os.path.join(
+        generate(ORACLE_SF, with_labels=False), "clips.parquet"
+    )
+    return f"""
+WITH t AS (
+  SELECT clip_id,
+    len(list_filter(regexp_split_to_array(transcript, '\\s+'),
+                    x -> x != '')) AS n_tokens,
+    dur_ms
+  FROM read_parquet('{clips}')
+)
+SELECT clip_id,
+  n_tokens,
+  dur_ms / 1000.0 AS dur_s,
+  round(n_tokens * 1000.0 / dur_ms, 4) AS tokens_per_s,
+  round(n_tokens * 1000.0 / dur_ms, 4) BETWEEN 0.25 AND 7.5 AS rate_ok
+FROM t
+"""
+
+
+def oracle_audio_vad() -> str:
+    """Gaps-and-islands twin of audio_ops.audio_vad: unnest the frame
+    energies with ordinality, mark active frames, find consecutive
+    runs via the i - row_number() group key, aggregate run lengths —
+    a completely different formulation (window over unnested rows)
+    from the engine's O(8) higher-order fold, same fixpoint.
+    Undecodable clips come back via the left join with null signals."""
+    from ungoliant_spark.operators.audio_ops import N_FRAMES, RMS_SILENCE
+
+    exp = ensure_audio_expected()
+    return f"""
+WITH base AS (
+  SELECT clip_id, decode_ok, frame_energy FROM read_parquet('{exp}')
+), f AS (
+  SELECT clip_id, unnest(frame_energy) AS e,
+         generate_subscripts(frame_energy, 1) AS i
+  FROM base WHERE decode_ok
+), marked AS (
+  SELECT clip_id, i, (e >= {RMS_SILENCE}) AS act FROM f
+), runs AS (
+  SELECT clip_id, act,
+         i - row_number() OVER (PARTITION BY clip_id, act ORDER BY i)
+           AS grp
+  FROM marked
+), runlen AS (
+  SELECT clip_id, act, count(*) AS rl
+  FROM runs GROUP BY clip_id, act, grp
+), agg AS (
+  SELECT clip_id,
+    CAST(sum(CASE WHEN act THEN rl ELSE 0 END) AS INTEGER) AS n_active,
+    round(sum(CASE WHEN act THEN rl ELSE 0 END) / {N_FRAMES}.0, 3)
+      AS active_ratio,
+    CAST(max(CASE WHEN act THEN rl ELSE 0 END) AS INTEGER)
+      AS longest_run
+  FROM runlen GROUP BY clip_id
+)
+SELECT b.clip_id, b.decode_ok, a.n_active, a.active_ratio,
+       a.longest_run
+FROM base b LEFT JOIN agg a USING (clip_id)
+"""
+
+
 def oracle_audio_frames() -> str:
     exp = ensure_audio_expected()
     return f"""

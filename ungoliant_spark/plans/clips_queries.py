@@ -159,6 +159,26 @@ def q_audio_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_dup_components(load_clips(spark, sf_dir))
 
 
+def q_speech_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal transcript/duration sanity gate
+    (operators/audio_ops.speech_rate): pure Catalyst over
+    (transcript, dur_ms) — column pruning keeps the audio bytes out
+    of the scan entirely."""
+    from ungoliant_spark.operators.audio_ops import speech_rate
+
+    return speech_rate(load_clips(spark, sf_dir))
+
+
+def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-run voice-activity signals
+    (operators/audio_ops.audio_vad): higher-order fold over the
+    shared decode pass's frame energies; the oracle recomputes runs
+    via window-function gaps-and-islands over unnested rows."""
+    from ungoliant_spark.operators.audio_ops import audio_vad
+
+    return audio_vad(load_clips(spark, sf_dir))
+
+
 def q_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-side quality gate (operators/audio_ops.audio_quality):
     pure Catalyst over the hash-verified stats features; the oracle
