@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_quality": cq.q_audio_quality,
         "audio_dup_pairs": cq.q_audio_dup_pairs,
         "audio_dup_components": cq.q_audio_dup_components,
+        "audio_dedup_against": cq.q_audio_dedup_against,
         "speech_rate": cq.q_speech_rate,
         "audio_vad": cq.q_audio_vad,
         "lid_documents": cq.q_lid_documents,
@@ -136,6 +137,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_quality": osqlc.oracle_audio_quality(),
         "audio_dup_pairs": osqlc.oracle_audio_dup_pairs(),
         "audio_dup_components": osqlc.oracle_audio_dup_components(),
+        "audio_dedup_against": osqlc.oracle_audio_dedup_against(),
         "speech_rate": osqlc.oracle_speech_rate(),
         "audio_vad": osqlc.oracle_audio_vad(),
         "lid_documents": osqlc.oracle_lid_documents(),

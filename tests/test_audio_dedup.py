@@ -152,6 +152,47 @@ def test_audio_dup_components_cluster_plants(spark, fx_dir):
     assert len(clustered) >= 0.8 * len(planted)
 
 
+def test_audio_dedup_against_even_odd(spark, fx_dir):
+    """Cross-corpus lookup with refs = even-index clips, new = odd:
+    every flagged clip is a planted dup whose even-index predecessor
+    is its reference, annotation is total over the new side, and
+    plants with an even index (reference not in the ref corpus's
+    Hamming ball) do NOT flag."""
+    from pyspark.sql import functions as F
+
+    from ungoliant_spark.operators.audio_ops import audio_dedup_against
+
+    clips = spark.read.parquet(f"{fx_dir}/clips.parquet")
+    n = clips.count()
+    idx = F.substring("clip_id", 6, 8).cast("int")
+    new = clips.filter(idx % 2 == 1)
+    out = {
+        r["clip_id"]: r
+        for r in audio_dedup_against(
+            new, clips.filter(idx % 2 == 0)
+        ).collect()
+    }
+    assert len(out) == new.count()  # total annotation
+    flagged = {c for c, r in out.items() if r["is_dup"]}
+    # BOTH orientations must flag: an odd re-upload against its even
+    # predecessor, and an odd ORIGINAL against its own even re-upload
+    # (the content exists in the reference corpus either way)
+    expect_ref = {}
+    for i in range(n):
+        if is_dup_row(i):
+            if i % 2 == 1:
+                expect_ref[f"clip-{i:08d}"] = f"clip-{i - 1:08d}"
+            else:
+                expect_ref[f"clip-{i - 1:08d}"] = f"clip-{i:08d}"
+    assert flagged <= set(expect_ref), flagged - set(expect_ref)
+    assert len(flagged) >= 0.8 * len(expect_ref), (
+        len(flagged), len(expect_ref)
+    )
+    for c in flagged:
+        assert out[c]["dup_of_ref"] == expect_ref[c], (c, out[c])
+        assert out[c]["hamming"] <= 3
+
+
 def test_audio_dup_plan_cartesian_free(spark, fx_dir):
     """The banded-Hamming join inherits text simhash's lossless-LSH
     plan shape: equi-join on (band, chunk), no CartesianProduct, no
@@ -177,3 +218,19 @@ def test_audio_dup_plan_cartesian_free(spark, fx_dir):
     )
     assert "collect_list" not in cplan, cplan
     assert "CartesianProduct" not in cplan, cplan
+    # bipartite cross-corpus lookup: banded equi-joins only
+    from pyspark.sql import functions as F
+
+    from ungoliant_spark.operators.audio_ops import audio_dedup_against
+
+    idx = F.substring("clip_id", 6, 8).cast("int")
+    mplan = (
+        audio_dedup_against(
+            clips.filter(idx % 2 == 1), clips.filter(idx % 2 == 0)
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in mplan, mplan
+    assert "BroadcastNestedLoopJoin" not in mplan, mplan

@@ -369,6 +369,60 @@ def audio_vad(clips: DataFrame, threshold: float = RMS_SILENCE) -> DataFrame:
     )
 
 
+def audio_dedup_against(
+    new_clips: DataFrame,
+    ref_clips: DataFrame,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(clip_id, afp, dup_of_ref, hamming, is_dup) — dedupe a NEW
+    batch of clips against an existing REFERENCE corpus on the
+    ACOUSTIC side: the recurring "new crawl vs old snapshots" pass
+    (text twin: dedup.exact_dedup_against), catching re-uploads whose
+    caption changed. ``dup_of_ref`` is the minimum reference clip_id
+    whose fingerprint is within ``max_hamming`` bits (deterministic:
+    min over ids, not min over distance), ``hamming`` the distance to
+    that reference. Total annotation: undecodable new clips keep
+    their row with null fingerprint and is_dup false.
+
+    Scale shape: both corpora collapse to distinct fingerprints
+    before the banded join (dedup.hamming_matches) — the reference
+    side to (fingerprint, min id) — and new clips rejoin the match
+    table on their fingerprint; the multi-KB audio bytes feed only
+    the two decode passes, never the join."""
+    from ungoliant_spark.operators.dedup import hamming_matches
+
+    new_fp = audio_stats(new_clips).select("clip_id", "decode_ok", "afp")
+    ref_fp = (
+        audio_stats(ref_clips)
+        .filter(F.col("decode_ok") & F.col("afp").isNotNull())
+        .select("clip_id", "afp")
+    )
+    matches = hamming_matches(
+        new_fp.filter(F.col("decode_ok") & F.col("afp").isNotNull()),
+        ref_fp,
+        hash_col="afp",
+        id_col="clip_id",
+        ref_id_col="clip_id",
+        max_hamming=max_hamming,
+    )
+    hamming = F.when(
+        F.col("dup_of_ref").isNotNull(),
+        F.bit_count(F.col("afp").bitwiseXOR(F.col("ref_hash"))).cast(
+            "int"
+        ),
+    )
+    return (
+        new_fp.join(matches, "afp", "left")
+        .select(
+            "clip_id",
+            "afp",
+            "dup_of_ref",
+            hamming.alias("hamming"),
+            F.col("dup_of_ref").isNotNull().alias("is_dup"),
+        )
+    )
+
+
 def audio_dup_components(
     clips: DataFrame, max_hamming: int = 3, max_iterations: int = 20
 ) -> DataFrame:

@@ -824,6 +824,94 @@ def hamming_pairs(
     return inter.unionByName(intra)
 
 
+def _banded_chunks(df: DataFrame, hash_col: str, keep: list[str]) -> DataFrame:
+    """Explode a 63-bit hash into its (band, chunk) pigeonhole keys
+    (SIMHASH_BANDS), keeping ``keep`` columns alongside — the shared
+    candidate-key generator for the self-join (hamming_pairs) and
+    bipartite (hamming_matches) forms."""
+    return df.select(
+        *keep,
+        hash_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright(F.col(hash_col), off)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for bi, (off, width) in enumerate(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bh"),
+    ).select(
+        *keep,
+        hash_col,
+        F.col("bh.band").alias("band"),
+        F.col("bh.chunk").alias("chunk"),
+    )
+
+
+def hamming_matches(
+    probe: DataFrame,
+    ref: DataFrame,
+    hash_col: str,
+    id_col: str,
+    ref_id_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Bipartite Hamming lookup: for every DISTINCT probe hash, the
+    MINIMUM reference id whose hash is within ``max_hamming`` bits —
+    the cross-corpus primitive behind audio_ops.audio_dedup_against
+    (new crawl vs existing snapshots, acoustic side). Returns
+    (``hash_col``, dup_of_ref, ref_hash) keyed by distinct probe hash;
+    callers join it back to their id table on ``hash_col``.
+
+    Scale shape: BOTH sides collapse to distinct hashes before the
+    banded equi-join (the reference side additionally carrying its
+    min id per hash, which preserves the global min because min over
+    refs = min over per-hash minima); candidates are (band, chunk)
+    collisions only — no cartesian product, and the reference corpus
+    is never re-scanned per probe."""
+    if max_hamming > len(SIMHASH_BANDS) - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the lossless bound "
+            f"{len(SIMHASH_BANDS) - 1} of {len(SIMHASH_BANDS)}-band "
+            "pigeonhole candidate generation; results would silently "
+            "miss pairs. Add bands (SIMHASH_BANDS) to raise the bound."
+        )
+    probe_fp = probe.select(F.col(hash_col)).distinct()
+    ref_fp = ref.groupBy(hash_col).agg(
+        F.min(ref_id_col).alias("ref_id")
+    )
+    pb = _banded_chunks(probe_fp, hash_col, []).alias("p")
+    rb = _banded_chunks(ref_fp, hash_col, ["ref_id"]).alias("r")
+    cand = (
+        pb.join(
+            rb,
+            (F.col("p.band") == F.col("r.band"))
+            & (F.col("p.chunk") == F.col("r.chunk")),
+        )
+        .filter(
+            F.bit_count(
+                F.col(f"p.{hash_col}").bitwiseXOR(F.col(f"r.{hash_col}"))
+            )
+            <= max_hamming
+        )
+        .select(
+            F.col(f"p.{hash_col}").alias(hash_col),
+            F.col("r.ref_id").alias("ref_id"),
+            F.col(f"r.{hash_col}").alias("ref_hash"),
+        )
+        .dropDuplicates([hash_col, "ref_id"])
+    )
+    return cand.groupBy(hash_col).agg(
+        F.min("ref_id").alias("dup_of_ref"),
+        F.min_by("ref_hash", "ref_id").alias("ref_hash"),
+    )
+
+
 def simhash63_table(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

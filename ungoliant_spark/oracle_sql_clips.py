@@ -321,6 +321,40 @@ SELECT id AS clip_id, min(r) AS component_rep FROM reach GROUP BY id
 """
 
 
+def oracle_audio_dedup_against() -> str:
+    """Naive twin of the engine's banded bipartite fingerprint
+    lookup: every (new, ref) pair via a structure-free
+    bit_count(xor) join over the independent-decode expected table,
+    min reference id per distinct new fingerprint, distance to that
+    chosen reference. Same even/odd clip-index corpus split as the
+    driver query, reconstructed from the clip_id."""
+    exp = ensure_audio_expected()
+    return f"""
+WITH expt AS (
+  SELECT clip_id, decode_ok, afp,
+         CAST(substr(clip_id, 6) AS INTEGER) AS idx
+  FROM read_parquet('{exp}')
+), refs AS (
+  SELECT clip_id, afp FROM expt WHERE idx % 2 = 0 AND decode_ok
+), news AS (
+  SELECT clip_id, afp FROM expt WHERE idx % 2 = 1
+), m AS (
+  SELECT n.afp AS afp, min(r.clip_id) AS dup_of_ref
+  FROM (SELECT DISTINCT afp FROM news WHERE afp IS NOT NULL) n
+  JOIN refs r ON bit_count(xor(n.afp, r.afp)) <= 3
+  GROUP BY n.afp
+)
+SELECT n.clip_id, n.afp, m.dup_of_ref,
+  CASE WHEN m.dup_of_ref IS NOT NULL
+       THEN CAST(bit_count(xor(n.afp, r2.afp)) AS INTEGER)
+  END AS hamming,
+  m.dup_of_ref IS NOT NULL AS is_dup
+FROM news n
+LEFT JOIN m ON n.afp = m.afp
+LEFT JOIN refs r2 ON r2.clip_id = m.dup_of_ref
+"""
+
+
 def oracle_speech_rate() -> str:
     """Closed-form twin of audio_ops.speech_rate on the raw clips
     table (no decode involved): whitespace-split token count with

@@ -159,6 +159,25 @@ def q_audio_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_dup_components(load_clips(spark, sf_dir))
 
 
+def q_audio_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus acoustic dedup
+    (operators/audio_ops.audio_dedup_against): even-index clips play
+    the committed reference corpus, odd-index clips the new crawl —
+    a deterministic split both engines replicate from the clip_id.
+    The fixture's planted re-uploads duplicate the PREVIOUS row's
+    audio, so plants at odd indices must flag against their
+    even-index reference neighbor."""
+    from pyspark.sql import functions as F
+
+    from ungoliant_spark.operators.audio_ops import audio_dedup_against
+
+    clips = load_clips(spark, sf_dir)
+    idx = F.substring("clip_id", 6, 8).cast("int")
+    return audio_dedup_against(
+        clips.filter(idx % 2 == 1), clips.filter(idx % 2 == 0)
+    )
+
+
 def q_speech_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal transcript/duration sanity gate
     (operators/audio_ops.speech_rate): pure Catalyst over
