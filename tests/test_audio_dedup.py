@@ -193,6 +193,43 @@ def test_audio_dedup_against_even_odd(spark, fx_dir):
         assert out[c]["hamming"] <= 3
 
 
+def test_audio_dedup_against_precomputed_fingerprints(spark, fx_dir):
+    """The production path — reference fingerprints from a committed
+    (clip_id, afp) table instead of re-decoding the reference corpus
+    — must match the decode-in-line path row for row; passing both
+    or neither reference form fails loudly."""
+    from pyspark.sql import functions as F
+
+    from ungoliant_spark.operators.audio_ops import (
+        audio_dedup_against,
+        audio_stats,
+    )
+
+    clips = spark.read.parquet(f"{fx_dir}/clips.parquet").limit(400)
+    idx = F.substring("clip_id", 6, 8).cast("int")
+    new, ref = clips.filter(idx % 2 == 1), clips.filter(idx % 2 == 0)
+    fp_table = (
+        audio_stats(ref)
+        .filter("decode_ok")
+        .select("clip_id", "afp")
+    )
+    inline = {
+        r["clip_id"]: (r["dup_of_ref"], r["hamming"], r["is_dup"])
+        for r in audio_dedup_against(new, ref).collect()
+    }
+    precomp = {
+        r["clip_id"]: (r["dup_of_ref"], r["hamming"], r["is_dup"])
+        for r in audio_dedup_against(
+            new, ref_fingerprints=fp_table
+        ).collect()
+    }
+    assert inline == precomp
+    with pytest.raises(ValueError, match="exactly one"):
+        audio_dedup_against(new)
+    with pytest.raises(ValueError, match="exactly one"):
+        audio_dedup_against(new, ref, ref_fingerprints=fp_table)
+
+
 def test_audio_dup_plan_cartesian_free(spark, fx_dir):
     """The banded-Hamming join inherits text simhash's lossless-LSH
     plan shape: equi-join on (band, chunk), no CartesianProduct, no

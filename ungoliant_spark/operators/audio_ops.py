@@ -371,8 +371,9 @@ def audio_vad(clips: DataFrame, threshold: float = RMS_SILENCE) -> DataFrame:
 
 def audio_dedup_against(
     new_clips: DataFrame,
-    ref_clips: DataFrame,
+    ref_clips: DataFrame | None = None,
     max_hamming: int = 3,
+    ref_fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """(clip_id, afp, dup_of_ref, hamming, is_dup) — dedupe a NEW
     batch of clips against an existing REFERENCE corpus on the
@@ -388,15 +389,30 @@ def audio_dedup_against(
     before the banded join (dedup.hamming_matches) — the reference
     side to (fingerprint, min id) — and new clips rejoin the match
     table on their fingerprint; the multi-KB audio bytes feed only
-    the two decode passes, never the join."""
+    the two decode passes, never the join. In a recurring production
+    pipeline the reference corpus is a COMMITTED snapshot whose
+    fingerprints were already computed — pass that (clip_id, afp)
+    table as ``ref_fingerprints`` to skip re-decoding terabytes of
+    reference audio every run; ``ref_clips`` decodes in-line for the
+    ad-hoc case."""
     from ungoliant_spark.operators.dedup import hamming_matches
 
+    if (ref_clips is None) == (ref_fingerprints is None):
+        raise ValueError(
+            "pass exactly one of ref_clips (decode in-line) or "
+            "ref_fingerprints (precomputed (clip_id, afp) table)"
+        )
     new_fp = audio_stats(new_clips).select("clip_id", "decode_ok", "afp")
-    ref_fp = (
-        audio_stats(ref_clips)
-        .filter(F.col("decode_ok") & F.col("afp").isNotNull())
-        .select("clip_id", "afp")
-    )
+    if ref_fingerprints is not None:
+        ref_fp = ref_fingerprints.filter(
+            F.col("afp").isNotNull()
+        ).select("clip_id", "afp")
+    else:
+        ref_fp = (
+            audio_stats(ref_clips)
+            .filter(F.col("decode_ok") & F.col("afp").isNotNull())
+            .select("clip_id", "afp")
+        )
     matches = hamming_matches(
         new_fp.filter(F.col("decode_ok") & F.col("afp").isNotNull()),
         ref_fp,
