@@ -139,6 +139,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="follow-on pass over the committed kept table: "
                         "write clip_id -> Gopher-style repetition "
                         "signals (dup{n}_frac / top{n}_char_frac)")
+    p.add_argument("--speech-rate", action="store_true",
+                   help="follow-on pass over the committed kept table: "
+                        "write clip_id -> cross-modal tokens-per-second "
+                        "sanity signals (operators/audio_ops.speech_rate)")
+    p.add_argument("--vad", action="store_true",
+                   help="follow-on pass over the committed kept table: "
+                        "write clip_id -> voice-activity signals "
+                        "(operators/audio_ops.audio_vad)")
     p.add_argument("--audio-dedup", action="store_true",
                    help="follow-on pass over the committed kept table: "
                         "write clip_id -> component_rep acoustic "
@@ -450,6 +458,18 @@ def main(argv: list[str] | None = None) -> int:
         )
         rp_out = write_aux(sig, "repetition")
         print(f"repetition signals -> {rp_out}")
+    if args.speech_rate:
+        # pure Catalyst over (transcript, dur_ms) — the scan prunes
+        # the audio bytes, so this pass is metadata-cheap
+        from ungoliant_spark.operators.audio_ops import speech_rate
+
+        sr_out = write_aux(speech_rate(read_kept()), "speech_rate")
+        print(f"speech-rate signals -> {sr_out}")
+    if args.vad:
+        from ungoliant_spark.operators.audio_ops import audio_vad
+
+        vad_out = write_aux(audio_vad(read_kept()), "vad")
+        print(f"vad signals -> {vad_out}")
     if args.audio_dedup:
         # acoustic-side twin of --dedup: cross-chunk by nature, pure
         # function of the kept table, atomically overwritten on

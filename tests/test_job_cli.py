@@ -298,6 +298,21 @@ def test_cli_dedup_follow_on_pass(spark, tmp_path):
         i = int(cid.split("-")[1])
         assert is_dup_row(i) and rep == f"clip-{i - 1:08d}", (cid, rep)
 
+    # --speech-rate / --vad (round-6): total signal annotations
+    stdout = _run_cli(["--input", clips, "--output", out, "--chunks", "2",
+                       "--speech-rate", "--vad"])
+    assert "speech-rate signals" in stdout and "vad signals" in stdout
+    srdf = spark.read.parquet(os.path.join(out, "speech_rate"))
+    assert srdf.count() == n_kept
+    assert {"clip_id", "n_tokens", "tokens_per_s", "rate_ok"} <= set(
+        srdf.columns
+    )
+    vdf = spark.read.parquet(os.path.join(out, "vad"))
+    assert vdf.count() == n_kept
+    assert {"clip_id", "n_active", "active_ratio", "longest_run"} <= set(
+        vdf.columns
+    )
+
 
 def test_cli_snapshot_table_input_uses_manifest(spark, tmp_path):
     """A SnapshotTable root as --input: the CLI reads the committed
