@@ -229,6 +229,27 @@ def test_audio_dedup_against_precomputed_fingerprints(spark, fx_dir):
     with pytest.raises(ValueError, match="exactly one"):
         audio_dedup_against(new, ref, ref_fingerprints=fp_table)
 
+    # the whole family takes precomputed fingerprints: pairs and
+    # components over a stats snapshot match the decode-in-line runs
+    from ungoliant_spark.operators.audio_ops import (
+        audio_dup_components,
+        audio_dup_pairs,
+    )
+
+    all_fp = (
+        audio_stats(clips).filter("decode_ok").select("clip_id", "afp")
+    )
+    assert sorted(map(tuple, audio_dup_pairs(clips).collect())) == sorted(
+        map(tuple, audio_dup_pairs(fingerprints=all_fp).collect())
+    )
+    assert sorted(
+        map(tuple, audio_dup_components(clips).collect())
+    ) == sorted(
+        map(tuple, audio_dup_components(fingerprints=all_fp).collect())
+    )
+    with pytest.raises(ValueError, match="exactly one"):
+        audio_dup_pairs(clips, fingerprints=all_fp)
+
 
 def test_audio_dup_plan_cartesian_free(spark, fx_dir):
     """The banded-Hamming join inherits text simhash's lossless-LSH

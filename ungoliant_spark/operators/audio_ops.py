@@ -259,7 +259,35 @@ def audio_quality(clips: DataFrame) -> DataFrame:
 # -- acoustic-fingerprint near-dup detection ---------------------------
 
 
-def audio_dup_pairs(clips: DataFrame, max_hamming: int = 3) -> DataFrame:
+def _clip_fingerprints(
+    clips: DataFrame | None, fingerprints: DataFrame | None, arg: str
+) -> DataFrame:
+    """(clip_id, afp) for the dedup family: decode in-line from a
+    clips table, or take a precomputed fingerprint table (a committed
+    audio_stats snapshot) so recurring runs never re-decode the
+    corpus. Exactly one source; undecodable clips are excluded
+    either way."""
+    if (clips is None) == (fingerprints is None):
+        raise ValueError(
+            f"pass exactly one of clips (decode in-line) or "
+            f"{arg} (precomputed (clip_id, afp) table)"
+        )
+    if fingerprints is not None:
+        return fingerprints.filter(F.col("afp").isNotNull()).select(
+            "clip_id", "afp"
+        )
+    return (
+        audio_stats(clips)
+        .filter(F.col("decode_ok") & F.col("afp").isNotNull())
+        .select("clip_id", "afp")
+    )
+
+
+def audio_dup_pairs(
+    clips: DataFrame | None = None,
+    max_hamming: int = 3,
+    fingerprints: DataFrame | None = None,
+) -> DataFrame:
     """(clip_a, clip_b, hamming) — near-duplicate AUDIO pairs via the
     63-bit acoustic fingerprint (:func:`afp63`), the audio analog of
     text SimHash dedup and the catch that text dedup cannot make: a
@@ -274,14 +302,12 @@ def audio_dup_pairs(clips: DataFrame, max_hamming: int = 3) -> DataFrame:
     already plan-gated for text simhash.
 
     Undecodable clips carry no fingerprint and are excluded (a pair
-    against unknown audio is not evidence of duplication)."""
+    against unknown audio is not evidence of duplication). Pass a
+    precomputed (clip_id, afp) table as ``fingerprints`` to skip the
+    decode (recurring runs over a committed stats snapshot)."""
     from ungoliant_spark.operators.dedup import hamming_pairs
 
-    fp = (
-        audio_stats(clips)
-        .filter(F.col("decode_ok") & F.col("afp").isNotNull())
-        .select("clip_id", "afp")
-    )
+    fp = _clip_fingerprints(clips, fingerprints, "fingerprints")
     return hamming_pairs(
         fp, hash_col="afp", id_col="clip_id", max_hamming=max_hamming
     ).select(
@@ -397,22 +423,10 @@ def audio_dedup_against(
     ad-hoc case."""
     from ungoliant_spark.operators.dedup import hamming_matches
 
-    if (ref_clips is None) == (ref_fingerprints is None):
-        raise ValueError(
-            "pass exactly one of ref_clips (decode in-line) or "
-            "ref_fingerprints (precomputed (clip_id, afp) table)"
-        )
     new_fp = audio_stats(new_clips).select("clip_id", "decode_ok", "afp")
-    if ref_fingerprints is not None:
-        ref_fp = ref_fingerprints.filter(
-            F.col("afp").isNotNull()
-        ).select("clip_id", "afp")
-    else:
-        ref_fp = (
-            audio_stats(ref_clips)
-            .filter(F.col("decode_ok") & F.col("afp").isNotNull())
-            .select("clip_id", "afp")
-        )
+    ref_fp = _clip_fingerprints(
+        ref_clips, ref_fingerprints, "ref_fingerprints"
+    )
     matches = hamming_matches(
         new_fp.filter(F.col("decode_ok") & F.col("afp").isNotNull()),
         ref_fp,
@@ -440,7 +454,10 @@ def audio_dedup_against(
 
 
 def audio_dup_components(
-    clips: DataFrame, max_hamming: int = 3, max_iterations: int = 20
+    clips: DataFrame | None = None,
+    max_hamming: int = 3,
+    max_iterations: int = 20,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """(clip_id, component_rep) — acoustic near-dup CLUSTERS, the
     deliverable a dedup pass actually consumes (keep component_rep,
@@ -451,14 +468,12 @@ def audio_dup_components(
     pair list anywhere in the plan, the same crawl-scale shape
     plan-gated for text simhash components. Undecodable clips are
     excluded (no fingerprint ⇒ no dedup evidence); callers keep them
-    via a left join if they want an explicit "unknown" class."""
+    via a left join if they want an explicit "unknown" class. Pass a
+    precomputed (clip_id, afp) table as ``fingerprints`` to skip the
+    decode."""
     from ungoliant_spark.operators.dedup import hamming_components
 
-    fp = (
-        audio_stats(clips)
-        .filter(F.col("decode_ok") & F.col("afp").isNotNull())
-        .select("clip_id", "afp")
-    )
+    fp = _clip_fingerprints(clips, fingerprints, "fingerprints")
     return hamming_components(
         fp,
         hash_col="afp",
