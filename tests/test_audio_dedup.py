@@ -251,6 +251,25 @@ def test_audio_dedup_against_precomputed_fingerprints(spark, fx_dir):
         audio_dup_pairs(clips, fingerprints=all_fp)
 
 
+def test_audio_dedup_against_empty_reference(spark, fx_dir):
+    """First run of a recurring pipeline: the reference corpus is
+    empty — every new clip must come back is_dup false with null
+    dup_of_ref, not crash or drop rows."""
+    from pyspark.sql import functions as F
+
+    from ungoliant_spark.operators.audio_ops import audio_dedup_against
+
+    clips = spark.read.parquet(f"{fx_dir}/clips.parquet").limit(50)
+    empty_fp = spark.createDataFrame(
+        [], "clip_id string, afp long"
+    )
+    rows = audio_dedup_against(clips, ref_fingerprints=empty_fp).collect()
+    assert len(rows) == 50
+    assert all(
+        not r["is_dup"] and r["dup_of_ref"] is None for r in rows
+    )
+
+
 def test_audio_dup_plan_cartesian_free(spark, fx_dir):
     """The banded-Hamming join inherits text simhash's lossless-LSH
     plan shape: equi-join on (band, chunk), no CartesianProduct, no
