@@ -251,6 +251,42 @@ def test_audio_dedup_against_precomputed_fingerprints(spark, fx_dir):
         audio_dup_pairs(clips, fingerprints=all_fp)
 
 
+def test_audio_dup_pairs_cap_dead_air_cluster(spark):
+    """ADVICE r6: identical-fingerprint mega-clusters are a REAL
+    acoustic hazard (dead air / tone clips all hash to afp=0);
+    audio_dup_pairs threads max_cluster_size to the same _dup_groups
+    guard text simhash uses. Contract mirrors the text cap tests:
+    capped output == uncapped output restricted to {each over-cap
+    cluster's rep} ∪ {all members of ≤cap clusters}."""
+    from ungoliant_spark.operators import dedup as dd
+
+    tone = (1 << 40) | (1 << 20) | (1 << 10) | (1 << 5) | 1  # 5 bits
+    rows = (
+        [(f"dead-{i:02d}", 0) for i in range(12)]  # dead-air cluster
+        + [(f"tone-{i:02d}", tone) for i in range(3)]  # small cluster
+        # hamming(tone, near)=1 → near-dup of the tones; both stay
+        # ≥4 bits from the dead-air word so the clusters don't touch
+        + [("near-00", tone ^ (1 << 5))]
+    )
+    fp = spark.createDataFrame(rows, "clip_id string, afp long")
+    uncapped = {
+        tuple(r) for r in audio_dup_pairs(fingerprints=fp).collect()
+    }
+    capped = {
+        tuple(r)
+        for r in audio_dup_pairs(
+            fingerprints=fp, max_cluster_size=3
+        ).collect()
+    }
+    dd.unpersist_group_tables()
+    allowed = {"dead-00"} | {f"tone-{i:02d}" for i in range(3)} | {"near-00"}
+    assert capped == {
+        (a, b, h) for (a, b, h) in uncapped if a in allowed and b in allowed
+    }
+    # the 12-clip dead-air cluster contributed 66 intra pairs uncapped
+    assert len(uncapped) - len(capped) == 66
+
+
 def test_audio_dedup_against_empty_reference(spark, fx_dir):
     """First run of a recurring pipeline: the reference corpus is
     empty — every new clip must come back is_dup false with null

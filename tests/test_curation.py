@@ -226,6 +226,40 @@ def test_prefix_sums_null_weight_and_strata_guard(spark):
         cmod.MAX_OFFSET_ROWS = old
 
 
+def test_prefix_sums_preserves_strata_type(spark):
+    """ADVICE r6: the string cast inside prefix_sums is ONLY the
+    internal driver offset key — an int-typed strata column must come
+    back int-typed with its original values (and propagate that way
+    through budget_pack), not silently stringified."""
+    df = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("int").alias("bucket"),
+        F.lit(2).alias("w"),
+    )
+    out = cur.prefix_sums(
+        df,
+        weight=F.col("w"),
+        priority=F.col("doc_id").cast("double"),
+        strata_col="bucket",
+        n_partitions=4,
+    )
+    assert dict(out.dtypes)["bucket"] == "int"
+    pdf = out.toPandas()
+    assert sorted(pdf.bucket.unique()) == [0, 1, 2]
+    # per-stratum running totals are unchanged by the type fix
+    assert pdf.groupby("bucket").cum_weight.max().eq(40).all()
+    packed = cur.budget_pack(
+        df,
+        budget=10,
+        weight=F.col("w"),
+        priority=F.col("doc_id").cast("double"),
+        strata_col="bucket",
+        n_partitions=4,
+    )
+    assert dict(packed.dtypes)["bucket"] == "int"
+    assert packed.count() == 15  # 5 docs of weight 2 per stratum
+
+
 def test_prefix_sum_window_is_partition_scoped(spark):
     """Plan gate: the prefix-sum window runs per (stratum, pid) — the
     range-partition slice — never per whole stratum, so no task ever

@@ -50,6 +50,22 @@ N_FRAMES = 8
 AFP_BANDS = 64
 AFP_FMAX = 4000.0
 
+
+def afp_band_index(freqs: np.ndarray) -> np.ndarray:
+    """CONTRACT boundary map for the fingerprint's spectral bands:
+    ``floor(freqs * AFP_BANDS / AFP_FMAX)`` with exactly this IEEE
+    grouping. The engine kernel (:func:`afp63`) and the independent
+    oracle twin (oracle_sql_clips._afp_independent) both call THIS
+    function: band boundaries are part of the fingerprint contract,
+    not an implementation detail, and two engines that merely group
+    the float expression differently — ``freqs * (AFP_BANDS /
+    AFP_FMAX)`` — put some FFT bins one band off (e.g. sr=16000,
+    n=768: index 65 vs 64), so the bit-identical-twin property would
+    hold only by accident (ADVICE r6). Everything else in the two
+    kernels (accumulation, smoothing, sign compare) stays
+    independently coded."""
+    return np.floor(freqs * AFP_BANDS / AFP_FMAX).astype(np.int64)
+
 AUDIO_STATS_T = T.StructType(
     [
         T.StructField("clip_id", T.StringType()),
@@ -71,7 +87,7 @@ def afp63(spec: np.ndarray, freqs: np.ndarray) -> int:
     so independently-coded re-implementations (the oracle's expected
     table) land on bit-identical words."""
     energy = spec * spec
-    idx = np.floor(freqs * (AFP_BANDS / AFP_FMAX)).astype(np.int64)
+    idx = afp_band_index(freqs)
     keep = (idx >= 0) & (idx < AFP_BANDS)
     bands = np.zeros(AFP_BANDS)
     np.add.at(bands, idx[keep], energy[keep])
@@ -287,6 +303,7 @@ def audio_dup_pairs(
     clips: DataFrame | None = None,
     max_hamming: int = 3,
     fingerprints: DataFrame | None = None,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """(clip_a, clip_b, hamming) — near-duplicate AUDIO pairs via the
     63-bit acoustic fingerprint (:func:`afp63`), the audio analog of
@@ -304,12 +321,25 @@ def audio_dup_pairs(
     Undecodable clips carry no fingerprint and are excluded (a pair
     against unknown audio is not evidence of duplication). Pass a
     precomputed (clip_id, afp) table as ``fingerprints`` to skip the
-    decode (recurring runs over a committed stats snapshot)."""
+    decode (recurring runs over a committed stats snapshot).
+
+    ``max_cluster_size`` threads to the same mega-dup-cluster guard
+    text simhash_pairs uses (dedup._dup_groups): identical
+    fingerprints are a REAL crawl hazard on the acoustic side — dead
+    air, tone test clips and all-zero uploads hash to the same afp
+    (often 0), and an unguarded cluster of k such clips rebuilds an
+    unbounded collect_list buffer plus O(k²) intra-group pair
+    expansion (ADVICE r6). None (default, and the oracle-checked
+    driver configuration) keeps the exact lossless semantics."""
     from ungoliant_spark.operators.dedup import hamming_pairs
 
     fp = _clip_fingerprints(clips, fingerprints, "fingerprints")
     return hamming_pairs(
-        fp, hash_col="afp", id_col="clip_id", max_hamming=max_hamming
+        fp,
+        hash_col="afp",
+        id_col="clip_id",
+        max_hamming=max_hamming,
+        max_cluster_size=max_cluster_size,
     ).select(
         F.col("id_a").alias("clip_a"),
         F.col("id_b").alias("clip_b"),

@@ -126,9 +126,15 @@ def prefix_sums(
     coarser stratum or pre-aggregate. NULL weights (e.g. null text →
     null token count) coalesce to 0 so the running sums stay defined.
     """
+    # the string cast is ONLY the internal driver offset key (dict keys
+    # + createDataFrame schema below); the original-typed column rides
+    # along and is what the caller gets back, so non-string strata
+    # (int buckets, dates) keep their type through budget_pack /
+    # pack_sequences (ADVICE r6)
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(strata_col).cast("string").alias("stratum"),
+        F.col(strata_col).alias("stratum_orig"),
         F.coalesce(weight.cast("long"), F.lit(0)).alias("weight"),
         priority.alias("priority"),
     )
@@ -182,7 +188,7 @@ def prefix_sums(
         )
         .select(
             F.col("id").alias(id_col),
-            F.col("stratum").alias(strata_col),
+            F.col("stratum_orig").alias(strata_col),
             "weight",
             "priority",
             "cum_weight",

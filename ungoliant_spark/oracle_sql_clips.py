@@ -58,10 +58,13 @@ def _afp_independent(spec: np.ndarray, freqs: np.ndarray, sr: int) -> int:
     concatenate. Both accumulate bins in ascending index order and
     quantize the smoothed band energies to float32 before the strict
     sign compare, so the words are bit-identical."""
-    from ungoliant_spark.operators.audio_ops import AFP_BANDS, AFP_FMAX
+    from ungoliant_spark.operators.audio_ops import AFP_BANDS, afp_band_index
 
     e = np.square(spec)
-    idx = np.floor(freqs * AFP_BANDS / AFP_FMAX).astype(np.int64)
+    # band boundaries come from the SHARED contract helper (ADVICE r6:
+    # never let two engines group a boundary float expression
+    # differently); accumulation/smoothing/sign stay independent
+    idx = afp_band_index(freqs)
     m = (idx >= 0) & (idx < AFP_BANDS)
     bands = np.bincount(idx[m], weights=e[m], minlength=AFP_BANDS)[:AFP_BANDS]
     left = np.concatenate(([0.0], bands[:-1]))
