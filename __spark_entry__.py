@@ -2,6 +2,13 @@
 
 entry(spark)  — flagship heuristic quality-filter query on sf0.001.
 queries()     — one entry per implemented operator (SURVEY.md §2).
+                EXACTLY 50 entries: the driver's correctness artifact
+                records at most 50 rows (r05 registered 46 -> recorded
+                46; r06 registered 52 -> recorded exactly the first 50
+                in dict order), so tightly-coupled operator pairs share
+                a combined, still fully value-hashed row (audio_signals
+                = speech_rate + audio_vad; knn_ann_ivf = both quantizer
+                variants) rather than silently losing coverage.
 oracle_sql()  — DuckDB twins for the SQL-expressible ones.
 """
 
@@ -54,7 +61,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": dsq.q_knn_cosine,
         "knn_ann_lsh": dsq.q_knn_ann_lsh,
         "knn_ann_ivf": dsq.q_knn_ann_ivf,
-        "knn_ann_ivf_lloyd": dsq.q_knn_ann_ivf_lloyd,
         "curation_sample": dsq.q_curation_sample,
         "curation_pack_tokens": dsq.q_curation_pack_tokens,
         "curation_topk": dsq.q_curation_topk,
@@ -72,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + F1/SNR/parity gates in tests/)
         "clips_decisions": cq.q_clips_decisions,
         "clips_kept": cq.q_clips_kept,
+        "lid_documents": cq.q_lid_documents,
         "audio_stats": cq.q_audio_stats,
         "audio_frames": cq.q_audio_frames,
         "audio_resample": cq.q_audio_resample,
@@ -79,9 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dup_pairs": cq.q_audio_dup_pairs,
         "audio_dup_components": cq.q_audio_dup_components,
         "audio_dedup_against": cq.q_audio_dedup_against,
-        "speech_rate": cq.q_speech_rate,
-        "audio_vad": cq.q_audio_vad,
-        "lid_documents": cq.q_lid_documents,
+        "audio_signals": cq.q_audio_signals,
     }
 
 
@@ -112,8 +117,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": osqld.oracle_dedup_simhash_pairs(),
         "knn_cosine": osqld.oracle_knn_cosine(),
         "knn_ann_lsh": osqld.oracle_knn_ann_lsh(),
-        "knn_ann_ivf": osqld.oracle_knn_ann_ivf(),
-        "knn_ann_ivf_lloyd": osqld.oracle_knn_ann_ivf_lloyd(),
+        "knn_ann_ivf": osqld.oracle_knn_ann_ivf_variants(),
         "curation_sample": osqld.oracle_curation_sample(),
         "curation_pack_tokens": osqld.oracle_curation_pack_tokens(),
         "curation_topk": osqld.oracle_curation_topk(),
@@ -131,6 +135,7 @@ def oracle_sql() -> dict[str, str]:
         # (ground truth computed outside Spark; see oracle_sql_clips)
         "clips_decisions": osqlc.oracle_clips_decisions(),
         "clips_kept": osqlc.oracle_clips_kept(),
+        "lid_documents": osqlc.oracle_lid_documents(),
         "audio_stats": osqlc.oracle_audio_stats(),
         "audio_frames": osqlc.oracle_audio_frames(),
         "audio_resample": osqlc.oracle_audio_resample(),
@@ -138,7 +143,5 @@ def oracle_sql() -> dict[str, str]:
         "audio_dup_pairs": osqlc.oracle_audio_dup_pairs(),
         "audio_dup_components": osqlc.oracle_audio_dup_components(),
         "audio_dedup_against": osqlc.oracle_audio_dedup_against(),
-        "speech_rate": osqlc.oracle_speech_rate(),
-        "audio_vad": osqlc.oracle_audio_vad(),
-        "lid_documents": osqlc.oracle_lid_documents(),
+        "audio_signals": osqlc.oracle_audio_signals(),
     }

@@ -428,6 +428,20 @@ FROM base b LEFT JOIN agg a USING (clip_id)
 """
 
 
+def oracle_audio_signals() -> str:
+    """Combined twin of plans.clips_queries.q_audio_signals: the
+    speech-rate and VAD oracles (each still independently formulated
+    — closed-form arithmetic vs gaps-and-islands windows) joined on
+    clip_id. One driver row covers both operators because the
+    driver's correctness artifact caps at 50 recorded rows."""
+    return f"""
+SELECT sr.clip_id, sr.n_tokens, sr.dur_s, sr.tokens_per_s, sr.rate_ok,
+       v.decode_ok, v.n_active, v.active_ratio, v.longest_run
+FROM ({oracle_speech_rate()}) sr
+JOIN ({oracle_audio_vad()}) v ON sr.clip_id = v.clip_id
+"""
+
+
 def oracle_audio_frames() -> str:
     exp = ensure_audio_expected()
     return f"""

@@ -498,6 +498,17 @@ FROM final_ranked WHERE rank <= {k}
 """
 
 
+def oracle_knn_ann_ivf_variants() -> str:
+    """Both IVF quantizer variants under one driver row (variant
+    column), matching plans.dataset_queries.q_knn_ann_ivf — the
+    driver correctness artifact caps at 50 recorded rows."""
+    return f"""
+SELECT 'ivf' AS variant, * FROM ({oracle_knn_ann_ivf()})
+UNION ALL
+SELECT 'ivf_lloyd' AS variant, * FROM ({oracle_knn_ann_ivf_lloyd()})
+"""
+
+
 def oracle_knn_ann_ivf_lloyd(
     n_query: int = 20,
     k: int = 5,

