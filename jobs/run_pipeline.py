@@ -92,6 +92,77 @@ def check_chunk_pin(output: str, committed_any: bool) -> str:
     return pin_path
 
 
+def kept_fingerprints_or_none(kept_df):
+    """(clip_id, afp) from an audio-gated kept table, or None when the
+    run was not gated. An --audio-gate run persists the acoustic
+    fingerprint computed inside the gate's decode pass as a kept-row
+    column, so every follow-on acoustic pass over the same table can
+    skip the decode entirely (round-6 verdict item 3: at 100 TB the
+    duplicated decode was the single biggest avoidable cost in the
+    composed job). Gated rows all passed decode_ok, so afp is non-null
+    by construction; the filter is defensive."""
+    if "afp" not in kept_df.columns:
+        return None
+    from pyspark.sql import functions as F
+
+    return kept_df.filter(F.col("afp").isNotNull()).select(
+        "clip_id", "afp"
+    )
+
+
+def build_audio_dedup(kept_df):
+    """The --audio-dedup pass plan: acoustic near-dup components over
+    the kept table, reusing gate-pass fingerprints when present (the
+    returned plan then contains NO Python decode stage — asserted in
+    tests/test_job_cli.py)."""
+    from ungoliant_spark.operators.audio_ops import audio_dup_components
+
+    fp = kept_fingerprints_or_none(kept_df)
+    if fp is not None:
+        return audio_dup_components(fingerprints=fp)
+    return audio_dup_components(kept_df)
+
+
+def build_audio_dedup_against(kept_df, ref_fp):
+    """The --ref-fingerprints pass plan: kept clips flagged against a
+    committed reference fingerprint table; neither side re-decodes
+    when the kept table carries gate-pass fingerprints."""
+    from ungoliant_spark.operators.audio_ops import audio_dedup_against
+
+    fp = kept_fingerprints_or_none(kept_df)
+    if fp is not None:
+        return audio_dedup_against(
+            new_fingerprints=fp, ref_fingerprints=ref_fp
+        )
+    return audio_dedup_against(kept_df, ref_fingerprints=ref_fp)
+
+
+def read_fingerprint_table(spark, path: str):
+    """Load a committed (clip_id, afp) fingerprint table: a
+    SnapshotTable root (read via its manifest), a parquet path, or a
+    catalog identifier. Any table carrying clip_id + afp columns
+    works — e.g. a previous audio-gated run's kept table."""
+    from ungoliant_spark.plans.checkpoint import manifest_files
+
+    if "/" in path:
+        files = manifest_files(path)
+        df = (
+            spark.read.parquet(*files)
+            if files is not None
+            else spark.read.parquet(path)
+        )
+    else:
+        df = spark.read.table(path)
+    if "afp" not in df.columns:
+        raise ValueError(
+            f"--ref-fingerprints table '{path}' has no afp column; "
+            "pass an audio-gated kept table or an audio_stats snapshot"
+        )
+    from pyspark.sql import functions as F
+
+    return df.filter(F.col("afp").isNotNull()).select("clip_id", "afp")
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--input", required=True, help="parquet path or iceberg table")
@@ -153,7 +224,18 @@ def main(argv: list[str] | None = None) -> int:
                         "near-dup clusters (63-bit fingerprint, "
                         "operators/audio_ops.audio_dup_components) — "
                         "catches re-uploaded audio whose transcript "
-                        "differs, which --dedup (text-side) cannot")
+                        "differs, which --dedup (text-side) cannot. "
+                        "When the run was audio-gated the kept rows "
+                        "already carry their fingerprint from the "
+                        "gate's decode pass and NO audio is re-decoded")
+    p.add_argument("--ref-fingerprints", default=None, metavar="PATH",
+                   help="follow-on cross-corpus acoustic dedup over the "
+                        "committed kept table: PATH is a committed "
+                        "(clip_id, afp) fingerprint table (e.g. a "
+                        "previous --audio-gate run's kept table, or any "
+                        "audio_stats snapshot) — the reference corpus "
+                        "is never re-decoded; writes clip_id -> "
+                        "(dup_of_ref, hamming, is_dup)")
     args = p.parse_args(argv)
 
     # Under spark-submit the JVM already exists (PYSPARK_GATEWAY_PORT
@@ -254,6 +336,19 @@ def main(argv: list[str] | None = None) -> int:
 
         pin_path = check_chunk_pin(
             args.output, any(done_per_table.values())
+        )
+        from ungoliant_spark.plans.checkpoint import (
+            blocklist_hash,
+            check_or_pin_run_config,
+        )
+
+        check_or_pin_run_config(
+            _aux_path(args.output, "run_config.json"),
+            {
+                "audio_gate": args.audio_gate,
+                "terms_hash": blocklist_hash(terms),
+            },
+            committed_any=any(done_per_table.values()),
         )
 
         # file-range chunks when the input is a plain parquet scan or
@@ -473,18 +568,30 @@ def main(argv: list[str] | None = None) -> int:
     if args.audio_dedup:
         # acoustic-side twin of --dedup: cross-chunk by nature, pure
         # function of the kept table, atomically overwritten on
-        # re-runs. Reads only (clip_id, bytes, codec, sr_hz) into the
-        # single decode pass; the component mapping is rep-level
-        # (dedup.hamming_components), no clip-pair list in the plan.
-        from ungoliant_spark.operators.audio_ops import (
-            audio_dup_components,
-        )
+        # re-runs. The component mapping is rep-level
+        # (dedup.hamming_components), no clip-pair list in the plan;
+        # audio-gated kept tables are never re-decoded (see
+        # kept_fingerprints_or_none).
         from ungoliant_spark.operators.dedup import group_cache_scope
 
         with group_cache_scope():
-            comp = audio_dup_components(read_kept())
+            comp = build_audio_dedup(read_kept())
             ad_out = write_aux(comp, "audio_dedup")
         print(f"audio dedup mapping -> {ad_out}")
+    if args.ref_fingerprints:
+        # recurring "new crawl vs committed snapshot" acoustic pass:
+        # the reference side is ALWAYS a precomputed fingerprint
+        # table (that is the point of the flag), and the new side
+        # reuses the kept table's gate-pass fingerprints when present
+        # — a run with --audio-gate + --ref-fingerprints decodes each
+        # kept clip exactly once, inside the gate.
+        from ungoliant_spark.operators.dedup import group_cache_scope
+
+        ref_fp = read_fingerprint_table(spark, args.ref_fingerprints)
+        with group_cache_scope():
+            res = build_audio_dedup_against(read_kept(), ref_fp)
+            ada_out = write_aux(res, "audio_dedup_against")
+        print(f"audio cross-corpus dedup -> {ada_out}")
     spark.stop()
     return 0
 

@@ -312,3 +312,52 @@ def test_scan_files_private_api_failure_degrades_loudly(spark, clips):
     # the fallback chunking still covers every row exactly once
     total = sum(chunk_df(k).count() for k in range(2))
     assert total == clips.count()
+
+
+def test_run_config_pinned_across_resume(spark, clips, tmp_path):
+    """ADVICE r6: pipeline-affecting flags are pinned with the first
+    chunk and a resume under DIFFERENT flags refuses loudly — the
+    done-set skip would otherwise mix gated and ungated chunks in one
+    kept table. Also: committed chunks with no config pin (pre-guard
+    output / wrong CWD) refuse, because the original flags are
+    unknowable."""
+    import json
+    import os
+
+    out = str(tmp_path / "cfg_out")
+    run = CheckpointedRun(out)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run.run(clips, n_chunks=4, fail_after=1, audio_gate=True)
+    cfg_path = os.path.join(out, "run_config.json")
+    assert json.load(open(cfg_path)) == {
+        "audio_gate": True,
+        "terms_hash": None,
+    }
+    # resume without the gate -> loud mismatch, nothing new committed
+    before = CheckpointedRun(out).committed_chunks()
+    with pytest.raises(RuntimeError, match="run config mismatch"):
+        CheckpointedRun(out).run(clips, n_chunks=4)
+    # different blocklist -> also a mismatch (terms_hash differs)
+    with pytest.raises(RuntimeError, match="run config mismatch"):
+        CheckpointedRun(out).run(
+            clips, n_chunks=4, term_to_category={"x": "adult"},
+            audio_gate=True,
+        )
+    assert CheckpointedRun(out).committed_chunks() == before
+    # same flags -> resume completes
+    CheckpointedRun(out).run(clips, n_chunks=4, audio_gate=True)
+    assert len(CheckpointedRun(out).committed_chunks()) == 4
+    # missing pin over committed chunks -> refuse (flags unknowable)
+    os.remove(cfg_path)
+    with pytest.raises(RuntimeError, match="no run-config pin"):
+        CheckpointedRun(out).run(clips, n_chunks=4, audio_gate=True)
+
+
+def test_blocklist_hash_order_independent():
+    from ungoliant_spark.plans.checkpoint import blocklist_hash
+
+    a = {"t1": "adult", "t2": "gambling"}
+    b = dict(reversed(list(a.items())))
+    assert blocklist_hash(a) == blocklist_hash(b)
+    assert blocklist_hash(None) is None and blocklist_hash({}) is None
+    assert blocklist_hash({"t1": "adult"}) != blocklist_hash(a)

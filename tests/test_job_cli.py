@@ -407,3 +407,89 @@ def test_cli_audio_gate(spark, tmp_path):
     assert got == expected
     # the gate actually bit: some transcript-kept clips were dropped
     assert expected < {c for c, k in labels.items() if k}
+
+
+def test_cli_audio_gate_fingerprint_reuse(spark, tmp_path):
+    """Round-6 verdict item 3: an --audio-gate run persists the
+    acoustic fingerprint (computed inside the gate's decode pass) on
+    the kept rows, and the follow-on --audio-dedup pass consumes it —
+    its plan contains NO Python decode stage — with output identical
+    to the decode-in-line path. --ref-fingerprints then runs the
+    cross-corpus pass against a committed fingerprint table without
+    re-decoding either side. Resuming with a different gate flag
+    refuses loudly (run-config pin)."""
+    import subprocess
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from jobs.run_pipeline import build_audio_dedup
+    from ungoliant_spark.operators.audio_ops import audio_dup_components
+    from ungoliant_spark.operators.dedup import group_cache_scope
+    from ungoliant_spark.oracle_sql_clips import ensure_audio_expected
+    from ungoliant_spark.plans.checkpoint import CheckpointedRun
+    from ungoliant_spark.sources.fixtures import generate
+
+    clips = os.path.join(generate(0.001, with_labels=False), "clips.parquet")
+    out = str(tmp_path / "gated_fp_out")
+    stdout = _run_cli(["--input", clips, "--output", out, "--chunks", "2",
+                       "--audio-gate", "--audio-dedup"])
+    assert "audio dedup mapping" in stdout
+
+    kept = CheckpointedRun(out).kept.read(spark)
+    assert "afp" in kept.columns
+    # the persisted fingerprints are the real ones: bit-identical to
+    # the INDEPENDENT-decode expected table for every kept clip
+    expected_fp = {
+        r["clip_id"]: r["afp"]
+        for r in pq.read_table(
+            ensure_audio_expected(0.001), columns=["clip_id", "afp"]
+        ).to_pylist()
+    }
+    got_fp = {
+        r["clip_id"]: r["afp"]
+        for r in kept.select("clip_id", "afp").collect()
+    }
+    assert got_fp and all(
+        expected_fp[c] == fp for c, fp in got_fp.items()
+    )
+
+    # plan gate: the reuse path has no Python stage at all
+    plan_df = build_audio_dedup(kept)
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                 "PythonMapInArrow", "FlatMapGroupsInPandas"):
+        assert node not in plan, (node, plan)
+
+    # outputs unchanged vs decoding the kept audio in-line
+    with group_cache_scope():
+        via_decode = sorted(
+            map(tuple, audio_dup_components(kept.drop("afp")).collect())
+        )
+    written = sorted(
+        map(tuple,
+            spark.read.parquet(os.path.join(out, "audio_dedup")).collect())
+    )
+    assert written == via_decode
+
+    # --ref-fingerprints: the committed gated kept table IS a valid
+    # fingerprint table; self-reference flags every clip (its own
+    # fingerprint is in the reference) with a rep no later than itself
+    stdout = _run_cli(["--input", clips, "--output", out, "--chunks", "2",
+                       "--audio-gate",
+                       "--ref-fingerprints", os.path.join(out, "kept")])
+    assert "audio cross-corpus dedup" in stdout
+    ada = spark.read.parquet(os.path.join(out, "audio_dedup_against"))
+    assert ada.count() == kept.count()
+    assert ada.filter(~F.col("is_dup")).count() == 0
+    assert ada.filter(F.col("dup_of_ref") > F.col("clip_id")).count() == 0
+
+    # run-config pin: resuming the same output WITHOUT the gate fails
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    res = subprocess.run(
+        [sys.executable, "jobs/run_pipeline.py",
+         "--input", clips, "--output", out, "--chunks", "2"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert res.returncode != 0
+    assert "run config mismatch" in (res.stderr + res.stdout)

@@ -66,6 +66,7 @@ def afp_band_index(freqs: np.ndarray) -> np.ndarray:
     independently coded."""
     return np.floor(freqs * AFP_BANDS / AFP_FMAX).astype(np.int64)
 
+
 AUDIO_STATS_T = T.StructType(
     [
         T.StructField("clip_id", T.StringType()),
@@ -229,7 +230,7 @@ CLIP_PEAK = 32767
 MAX_SILENCE_RATIO = 0.5
 
 
-def audio_quality(clips: DataFrame) -> DataFrame:
+def audio_quality(clips: DataFrame, with_afp: bool = False) -> DataFrame:
     """(clip_id, decode_ok, too_quiet, clipped, silence_ratio,
     audio_keep) — the AUDIO-side quality gate, the PCM analog of the
     transcript heuristics (the reference filters text only; an
@@ -239,7 +240,14 @@ def audio_quality(clips: DataFrame) -> DataFrame:
     DuckDB twin recomputes the gate from the independent-decode
     expected table and the driver hash-check pins the decision
     end-to-end. Undecodable clips keep ``audio_keep`` false with
-    null signal columns (unknown, not 'loud')."""
+    null signal columns (unknown, not 'loud').
+
+    ``with_afp`` appends the acoustic fingerprint column computed in
+    the SAME decode pass (zero extra cost — audio_stats already emits
+    it), so a pipeline that gates on audio can persist (clip_id, afp)
+    with its kept rows and later dedup passes never re-decode the
+    corpus (round-6 verdict item 3). Default off keeps the
+    oracle-checked schema bit-stable."""
     s = audio_stats(clips)
     rms_d = F.col("rms").cast("double")
     silent_frames = F.size(
@@ -269,6 +277,7 @@ def audio_quality(clips: DataFrame) -> DataFrame:
         clipped.alias("clipped"),
         silence_ratio.alias("silence_ratio"),
         F.coalesce(keep, F.lit(False)).alias("audio_keep"),
+        *(["afp"] if with_afp else []),
     )
 
 
@@ -426,10 +435,11 @@ def audio_vad(clips: DataFrame, threshold: float = RMS_SILENCE) -> DataFrame:
 
 
 def audio_dedup_against(
-    new_clips: DataFrame,
+    new_clips: DataFrame | None = None,
     ref_clips: DataFrame | None = None,
     max_hamming: int = 3,
     ref_fingerprints: DataFrame | None = None,
+    new_fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """(clip_id, afp, dup_of_ref, hamming, is_dup) — dedupe a NEW
     batch of clips against an existing REFERENCE corpus on the
@@ -450,10 +460,28 @@ def audio_dedup_against(
     fingerprints were already computed — pass that (clip_id, afp)
     table as ``ref_fingerprints`` to skip re-decoding terabytes of
     reference audio every run; ``ref_clips`` decodes in-line for the
-    ad-hoc case."""
+    ad-hoc case. The NEW side takes the same pair of forms: a clips
+    table decoded in-line, or ``new_fingerprints`` when the new batch
+    already carries its fingerprints (an --audio-gate run persists
+    (clip_id, afp) on the kept rows, so neither side re-decodes).
+    With ``new_fingerprints`` the annotation is total over the
+    supplied fingerprint rows — undecodable clips were already
+    excluded when that table was built."""
     from ungoliant_spark.operators.dedup import hamming_matches
 
-    new_fp = audio_stats(new_clips).select("clip_id", "decode_ok", "afp")
+    if (new_clips is None) == (new_fingerprints is None):
+        raise ValueError(
+            "audio_dedup_against: pass exactly one of new_clips (decode "
+            "in-line) or new_fingerprints (precomputed (clip_id, afp))"
+        )
+    if new_fingerprints is not None:
+        new_fp = new_fingerprints.select(
+            "clip_id", F.lit(True).alias("decode_ok"), "afp"
+        )
+    else:
+        new_fp = audio_stats(new_clips).select(
+            "clip_id", "decode_ok", "afp"
+        )
     ref_fp = _clip_fingerprints(
         ref_clips, ref_fingerprints, "ref_fingerprints"
     )

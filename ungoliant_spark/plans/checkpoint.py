@@ -196,6 +196,63 @@ def load_or_pin_chunk_plan(
     return chunk_df, strategy
 
 
+def blocklist_hash(term_to_category: dict[str, str] | None) -> str | None:
+    """Order-independent content hash of a blocklist, for the run-config
+    pin: two runs gate identically iff their (term, category) sets
+    match, regardless of CSV row order or dict insertion order."""
+    if not term_to_category:
+        return None
+    import hashlib
+
+    h = hashlib.sha256()
+    for t, c in sorted(term_to_category.items()):
+        h.update(f"{t}\t{c}\n".encode("utf-8"))
+    return h.hexdigest()
+
+
+def check_or_pin_run_config(
+    path: str, config: dict, committed_any: bool
+) -> None:
+    """Pin the PIPELINE-AFFECTING flags beside the chunk plan and fail
+    loudly when a resume disagrees (ADVICE r6): the done-set skip
+    reuses committed chunks unconditionally, so resuming a partially-
+    committed run with a different --audio-gate value (or a different
+    blocklist) would silently produce a kept table MIXING gated and
+    ungated chunks — per-chunk decisions would be internally
+    consistent but the table as a whole would answer to no single
+    configuration. Same discipline as the chunk-plan pin: committed
+    chunks with no config pin (an output created before this guard,
+    or a catalog-identifier output resumed from the wrong CWD) also
+    refuse, because the original flags are unknowable."""
+    if os.path.exists(path):
+        with open(path, encoding="utf-8") as f:
+            pinned = json.load(f)
+        if pinned != config:
+            diff = {
+                k: {"pinned": pinned.get(k), "now": config.get(k)}
+                for k in sorted(set(pinned) | set(config))
+                if pinned.get(k) != config.get(k)
+            }
+            raise RuntimeError(
+                f"run config mismatch on resume ({path}): {diff}. "
+                "Committed chunks were produced under the pinned "
+                "flags; finishing the run under different flags would "
+                "mix configurations in one kept table. Re-run with "
+                "the original flags, or start a fresh --output."
+            )
+        return
+    if committed_any:
+        raise RuntimeError(
+            f"output has committed chunks but no run-config pin at "
+            f"{path}. The flags that produced them are unknowable — "
+            "write the pin matching the original run (JSON "
+            f"{sorted(config)}) or start a fresh --output."
+        )
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(config, f, sort_keys=True)
+
+
 def lineage_of(kept: DataFrame, chunk_id: str) -> DataFrame:
     w = Window.partitionBy("shard_id").orderBy("record_id")
     return (
@@ -276,6 +333,14 @@ class CheckpointedRun:
         """Process all not-yet-committed chunks; returns chunk ids
         committed by THIS invocation. Safe to re-run after any crash."""
         done = self.committed_chunks()
+        check_or_pin_run_config(
+            os.path.join(self.out_root, "run_config.json"),
+            {
+                "audio_gate": audio_gate,
+                "terms_hash": blocklist_hash(term_to_category),
+            },
+            committed_any=bool(done),
+        )
         chunk_df, _ = self._load_or_pin_chunk_plan(clips, n_chunks, files)
         committed: set[str] = set()
         schema_written = False
