@@ -201,6 +201,13 @@ def main(argv: list[str] | None = None) -> int:
                    metavar="N",
                    help="n-gram size for --decontam (default 13, the "
                         "published-pipeline convention)")
+    p.add_argument("--rate-gate", action="store_true",
+                   help="also gate on cross-modal speech rate: keep "
+                        "requires tokens-per-second within the "
+                        "plausible human-speech band (audio_ops."
+                        "MIN_TPS..MAX_TPS over the raw transcript and "
+                        "stored duration); rate_implausible joins "
+                        "quality_warnings")
     p.add_argument("--audio-gate", action="store_true",
                    help="also gate on the AUDIO side (decode-based "
                         "silence/clipping checks, operators/audio_ops."
@@ -287,6 +294,7 @@ def main(argv: list[str] | None = None) -> int:
             n_partitions=args.partitions,
             files=in_manifest,
             audio_gate=args.audio_gate,
+            rate_gate=args.rate_gate,
         )
         print(f"committed {len(committed)} new chunks -> {args.output}")
     else:
@@ -346,6 +354,7 @@ def main(argv: list[str] | None = None) -> int:
             _aux_path(args.output, "run_config.json"),
             {
                 "audio_gate": args.audio_gate,
+                "rate_gate": args.rate_gate,
                 "terms_hash": blocklist_hash(terms),
             },
             committed_any=any(done_per_table.values()),
@@ -388,7 +397,8 @@ def main(argv: list[str] | None = None) -> int:
                 continue
             part = chunk_df(chunk)
             kept = pipeline_run(
-                part, terms, args.partitions, audio_gate=args.audio_gate
+                part, terms, args.partitions,
+                audio_gate=args.audio_gate, rate_gate=args.rate_gate,
             ).cache()
             try:
                 out = kept.drop("sentence_langs")

@@ -331,6 +331,7 @@ def test_run_config_pinned_across_resume(spark, clips, tmp_path):
     cfg_path = os.path.join(out, "run_config.json")
     assert json.load(open(cfg_path)) == {
         "audio_gate": True,
+        "rate_gate": False,
         "terms_hash": None,
     }
     # resume without the gate -> loud mismatch, nothing new committed

@@ -493,3 +493,45 @@ def test_cli_audio_gate_fingerprint_reuse(spark, tmp_path):
     )
     assert res.returncode != 0
     assert "run config mismatch" in (res.stderr + res.stdout)
+
+
+def test_cli_rate_gate(spark, tmp_path):
+    """--rate-gate CLI leg: the committed kept set equals the library
+    run with rate_gate=True (the flag really reaches pipeline_run),
+    the run-config pin records it, and resuming without it refuses."""
+    import json
+    import subprocess
+
+    from ungoliant_spark.plans.checkpoint import CheckpointedRun
+    from ungoliant_spark.plans.pipeline import run as pipeline_run
+    from ungoliant_spark.sources.fixtures import generate
+
+    clips_path = os.path.join(
+        generate(0.001, with_labels=False), "clips.parquet"
+    )
+    out = str(tmp_path / "rate_out")
+    _run_cli(["--input", clips_path, "--output", out, "--chunks", "2",
+              "--rate-gate"])
+    cfg = json.load(open(os.path.join(out, "run_config.json")))
+    assert cfg["rate_gate"] is True and cfg["audio_gate"] is False
+    kept = CheckpointedRun(out).kept.read(spark)
+    got = {r["clip_id"] for r in kept.select("clip_id").collect()}
+    clips = spark.read.parquet(clips_path)
+    want = {
+        r["clip_id"]
+        for r in pipeline_run(clips, rate_gate=True)
+        .select("clip_id").collect()
+    }
+    assert got == want
+    # the fixture's independent transcript/duration draws make most
+    # rows implausible — the gate visibly bit
+    base = pipeline_run(clips).count()
+    assert len(got) < base
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    res = subprocess.run(
+        [sys.executable, "jobs/run_pipeline.py",
+         "--input", clips_path, "--output", out, "--chunks", "2"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert res.returncode != 0
+    assert "run config mismatch" in (res.stderr + res.stdout)

@@ -356,10 +356,40 @@ def audio_dup_pairs(
     )
 
 
+# plausible human-speech band (tokens/second) for the cross-modal
+# rate gate; ~0.25 tps is extremely slow dictation, ~7.5 tps is
+# auctioneer-fast — outside it the (transcript, duration) pair is
+# evidence of a mismatched upload or machine caption, not speech
+MIN_TPS = 0.25
+MAX_TPS = 7.5
+
+
+def rate_columns(min_tps: float, max_tps: float):
+    """(n_tokens, dur_s, tokens_per_s, rate_ok) column expressions
+    over a (transcript, dur_ms) row — the ONE rate kernel shared by
+    the :func:`speech_rate` annotation operator and the pipeline's
+    opt-in --rate-gate (plans/pipeline.py), so the two can never
+    disagree on tokenization or rounding. Token rule = whitespace
+    split with empties dropped; one IEEE division each, no
+    compounding of rounded intermediates (bit-deterministic vs the
+    DuckDB twin)."""
+    toks = F.size(
+        F.filter(
+            F.split(F.col("transcript"), r"\s+"), lambda x: x != ""
+        )
+    )
+    dur_s = F.col("dur_ms").cast("double") / 1000.0
+    tps = F.round(
+        toks.cast("double") * 1000.0 / F.col("dur_ms").cast("double"), 4
+    )
+    ok = (tps >= min_tps) & (tps <= max_tps)
+    return toks, dur_s, tps, ok
+
+
 def speech_rate(
     clips: DataFrame,
-    min_tps: float = 0.25,
-    max_tps: float = 7.5,
+    min_tps: float = MIN_TPS,
+    max_tps: float = MAX_TPS,
 ) -> DataFrame:
     """(clip_id, n_tokens, dur_s, tokens_per_s, rate_ok) — the
     CROSS-MODAL sanity gate neither side can compute alone: a
@@ -370,25 +400,14 @@ def speech_rate(
     decode, no Python; at crawl scale this is a free annotation
     inside whatever scan already reads the transcript. Token rule =
     whitespace split with empties dropped, matching the DuckDB twin
-    exactly."""
-    toks = F.size(
-        F.filter(
-            F.split(F.col("transcript"), r"\s+"), lambda x: x != ""
-        )
-    )
-    # bit-deterministic across engines: ONE IEEE division each, no
-    # compounding of rounded intermediates (the DuckDB twin computes
-    # the identical expressions)
-    dur_s = F.col("dur_ms").cast("double") / 1000.0
-    tps = F.round(
-        toks.cast("double") * 1000.0 / F.col("dur_ms").cast("double"), 4
-    )
+    exactly (see :func:`rate_columns`)."""
+    toks, dur_s, tps, ok = rate_columns(min_tps, max_tps)
     return clips.select(
         "clip_id",
         toks.alias("n_tokens"),
         dur_s.alias("dur_s"),
         tps.alias("tokens_per_s"),
-        ((tps >= min_tps) & (tps <= max_tps)).alias("rate_ok"),
+        ok.alias("rate_ok"),
     )
 
 

@@ -329,6 +329,7 @@ class CheckpointedRun:
         fail_after: int | None = None,  # test hook: simulate a crash
         files: list[str] | None = None,  # e.g. manifest_files(input)
         audio_gate: bool = False,
+        rate_gate: bool = False,
     ) -> set[str]:
         """Process all not-yet-committed chunks; returns chunk ids
         committed by THIS invocation. Safe to re-run after any crash."""
@@ -337,6 +338,7 @@ class CheckpointedRun:
             os.path.join(self.out_root, "run_config.json"),
             {
                 "audio_gate": audio_gate,
+                "rate_gate": rate_gate,
                 "terms_hash": blocklist_hash(term_to_category),
             },
             committed_any=bool(done),
@@ -353,7 +355,7 @@ class CheckpointedRun:
             part = chunk_df(chunk)
             kept = pipeline_run(
                 part, term_to_category, n_partitions,
-                audio_gate=audio_gate,
+                audio_gate=audio_gate, rate_gate=rate_gate,
             ).cache()
             try:
                 if not schema_written:

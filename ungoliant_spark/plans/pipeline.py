@@ -76,11 +76,38 @@ def audio_gate_columns(clips: DataFrame, with_afp: bool = False) -> DataFrame:
     )
 
 
+def _apply_rate_gate(df: DataFrame) -> DataFrame:
+    """Annotate the speech-rate sanity check: rate_ok + the
+    ``rate_implausible`` reason in quality_warnings (same lineage
+    discipline as the audio gate — a rate drop is auditable from the
+    decision surface). Callers fold rate_ok into their keep decision
+    (decide: AND into ``keep``; run: filter)."""
+    from ungoliant_spark.operators.audio_ops import (
+        MAX_TPS,
+        MIN_TPS,
+        rate_columns,
+    )
+
+    _, _, _, ok = rate_columns(MIN_TPS, MAX_TPS)
+    return df.withColumn("rate_ok", ok).withColumn(
+        "quality_warnings",
+        F.when(
+            F.col("rate_ok"),
+            F.col("quality_warnings"),
+        ).otherwise(
+            F.array_append(
+                "quality_warnings", F.lit("rate_implausible")
+            )
+        ),
+    )
+
+
 def decide(
     df: DataFrame,
     term_to_category: dict[str, str] | None = None,
     prune_before_lid: bool = True,
     audio_gate: bool = False,
+    rate_gate: bool = False,
 ) -> DataFrame:
     """Compute every pipeline decision column for all input rows.
 
@@ -100,6 +127,19 @@ def decide(
     only (clip_id, bytes, codec, sr_hz) through its single decode
     pass; ``bytes`` still never enters the transcript-side Python
     stage.
+
+    With ``rate_gate`` (opt-in; default off keeps the decision
+    surface bit-stable) the cross-modal speech-rate sanity check
+    joins the decision: ``keep`` additionally requires the
+    tokens-per-second rate to sit in the plausible human-speech band
+    (audio_ops.MIN_TPS..MAX_TPS over the RAW transcript and stored
+    duration — a mismatched upload or machine caption check, so it
+    runs BEFORE scrubbing), with ``rate_implausible`` appended to
+    quality_warnings. Pure Catalyst over two columns already in the
+    row — no join, no decode (audio_ops.rate_columns, the same
+    kernel as the speech_rate operator). Reference analog: the
+    annotator→drop chain, /root/reference/src/pipelines/oscardoc/
+    pipeline.rs:213-226.
     """
     df = apply_trim(df)
     df = apply_pfilter(df)
@@ -139,6 +179,10 @@ def decide(
             )
             .withColumn("keep", F.col("keep") & F.col("audio_keep"))
             .drop("audio_warnings")
+        )
+    if rate_gate:
+        df = _apply_rate_gate(df).withColumn(
+            "keep", F.col("keep") & F.col("rate_ok")
         )
     if term_to_category:
         df = apply_blocklist(df, term_to_category)
@@ -213,6 +257,7 @@ def run(
     n_partitions: int | None = None,
     arpa_dir: str | None = None,
     audio_gate: bool = False,
+    rate_gate: bool = False,
 ) -> DataFrame:
     """Production plan: Catalyst heuristics → ONE fused Python node
     (LID + TLSH + perplexity, operators/model_stage.py) → keep filter
@@ -295,6 +340,14 @@ def run(
             )
             .filter(F.coalesce("audio_keep", F.lit(False)))
             .drop("audio_keep", "audio_warnings")
+        )
+    if rate_gate:
+        # cross-modal sanity gate over the RAW transcript (pre-scrub,
+        # matching decide(rate_gate=True)): pure Catalyst over two
+        # columns already in the row, so the only plan change is a
+        # filter + warning append — no join, no decode
+        kept = _apply_rate_gate(kept).filter(F.col("rate_ok")).drop(
+            "rate_ok"
         )
     if n_partitions:
         kept = salted_repartition(kept, n_partitions)
