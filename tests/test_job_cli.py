@@ -56,11 +56,15 @@ def test_cli_snapshot_run_and_resume(tmp_path):
     assert len(run.committed_chunks()) == 4
     assert run.kept.verify_checksums() == []
 
-    # resume: nothing new; jsonl packaging step through the CLI flag
+    # resume: nothing new; jsonl packaging step through the CLI flag.
+    # The resume passes the SAME blocklist — the run-config pin
+    # refuses a resume whose flags differ from the committed chunks'
+    # (covered by test_cli_rate_gate / test_run_config_pinned_*)
     import glob
 
     jl = os.path.join(OUT, "jsonl")
     out2 = _run_cli(["--input", clips, "--output", OUT, "--chunks", "4",
+                     "--blocklist", str(tmp_path / "ut1"),
                      "--jsonl-out", jl])
     assert "committed 0 new chunks" in out2
     assert "packaged jsonl" in out2
