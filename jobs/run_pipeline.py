@@ -137,6 +137,28 @@ def build_audio_dedup_against(kept_df, ref_fp):
     return audio_dedup_against(kept_df, ref_fingerprints=ref_fp)
 
 
+def build_vad(kept_df):
+    """The --vad pass plan: voice-activity signals over the kept
+    table. An audio-gated run persisted the per-clip frame energies
+    from the gate's decode pass, so the fold runs as pure Catalyst
+    over that column — NO decode stage in the plan (asserted in
+    tests); ungated kept tables decode in-line. Gated kept rows all
+    passed the gate, so decode_ok is constant true on that path."""
+    from pyspark.sql import functions as F
+
+    from ungoliant_spark.operators.audio_ops import audio_vad
+
+    if "frame_energy" in kept_df.columns:
+        return audio_vad(
+            stats=kept_df.select(
+                "clip_id",
+                F.lit(True).alias("decode_ok"),
+                "frame_energy",
+            )
+        )
+    return audio_vad(kept_df)
+
+
 def read_fingerprint_table(spark, path: str):
     """Load a committed (clip_id, afp) fingerprint table: a
     SnapshotTable root (read via its manifest), a parquet path, or a
@@ -571,9 +593,7 @@ def main(argv: list[str] | None = None) -> int:
         sr_out = write_aux(speech_rate(read_kept()), "speech_rate")
         print(f"speech-rate signals -> {sr_out}")
     if args.vad:
-        from ungoliant_spark.operators.audio_ops import audio_vad
-
-        vad_out = write_aux(audio_vad(read_kept()), "vad")
+        vad_out = write_aux(build_vad(read_kept()), "vad")
         print(f"vad signals -> {vad_out}")
     if args.audio_dedup:
         # acoustic-side twin of --dedup: cross-chunk by nature, pure

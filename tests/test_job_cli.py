@@ -437,11 +437,11 @@ def test_cli_audio_gate_fingerprint_reuse(spark, tmp_path):
     clips = os.path.join(generate(0.001, with_labels=False), "clips.parquet")
     out = str(tmp_path / "gated_fp_out")
     stdout = _run_cli(["--input", clips, "--output", out, "--chunks", "2",
-                       "--audio-gate", "--audio-dedup"])
-    assert "audio dedup mapping" in stdout
+                       "--audio-gate", "--audio-dedup", "--vad"])
+    assert "audio dedup mapping" in stdout and "vad signals" in stdout
 
     kept = CheckpointedRun(out).kept.read(spark)
-    assert "afp" in kept.columns
+    assert "afp" in kept.columns and "frame_energy" in kept.columns
     # the persisted fingerprints are the real ones: bit-identical to
     # the INDEPENDENT-decode expected table for every kept clip
     expected_fp = {
@@ -458,12 +458,32 @@ def test_cli_audio_gate_fingerprint_reuse(spark, tmp_path):
         expected_fp[c] == fp for c, fp in got_fp.items()
     )
 
-    # plan gate: the reuse path has no Python stage at all
-    plan_df = build_audio_dedup(kept)
-    plan = plan_df._jdf.queryExecution().executedPlan().toString()
-    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
-                 "PythonMapInArrow", "FlatMapGroupsInPandas"):
-        assert node not in plan, (node, plan)
+    # plan gate: the reuse paths have no Python stage at all — the
+    # dedup pass folds over persisted fingerprints, the vad pass over
+    # persisted frame energies
+    from jobs.run_pipeline import build_vad
+
+    for plan_df in (build_audio_dedup(kept), build_vad(kept)):
+        plan = plan_df._jdf.queryExecution().executedPlan().toString()
+        for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                     "PythonMapInArrow", "FlatMapGroupsInPandas"):
+            assert node not in plan, (node, plan)
+
+    # vad values from persisted energies == decode-in-line over the
+    # same kept clips
+    from ungoliant_spark.operators.audio_ops import audio_vad
+
+    vad_written = sorted(
+        map(tuple,
+            spark.read.parquet(os.path.join(out, "vad")).collect())
+    )
+    vad_inline = sorted(
+        map(
+            tuple,
+            audio_vad(kept.drop("afp", "frame_energy")).collect(),
+        )
+    )
+    assert vad_written == vad_inline
 
     # outputs unchanged vs decoding the kept audio in-line
     with group_cache_scope():

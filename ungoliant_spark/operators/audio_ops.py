@@ -230,7 +230,9 @@ CLIP_PEAK = 32767
 MAX_SILENCE_RATIO = 0.5
 
 
-def audio_quality(clips: DataFrame, with_afp: bool = False) -> DataFrame:
+def audio_quality(
+    clips: DataFrame, extra: tuple[str, ...] = ()
+) -> DataFrame:
     """(clip_id, decode_ok, too_quiet, clipped, silence_ratio,
     audio_keep) — the AUDIO-side quality gate, the PCM analog of the
     transcript heuristics (the reference filters text only; an
@@ -242,12 +244,13 @@ def audio_quality(clips: DataFrame, with_afp: bool = False) -> DataFrame:
     end-to-end. Undecodable clips keep ``audio_keep`` false with
     null signal columns (unknown, not 'loud').
 
-    ``with_afp`` appends the acoustic fingerprint column computed in
-    the SAME decode pass (zero extra cost — audio_stats already emits
-    it), so a pipeline that gates on audio can persist (clip_id, afp)
-    with its kept rows and later dedup passes never re-decode the
-    corpus (round-6 verdict item 3). Default off keeps the
-    oracle-checked schema bit-stable."""
+    ``extra`` appends named :func:`audio_stats` columns computed in
+    the SAME decode pass (zero extra cost — the stats row already
+    carries them), so a pipeline that gates on audio can persist
+    decode artifacts (afp for the dedup family, frame_energy for VAD)
+    with its kept rows and later passes never re-decode the corpus
+    (round-6 verdict item 3). Default () keeps the oracle-checked
+    schema bit-stable."""
     s = audio_stats(clips)
     rms_d = F.col("rms").cast("double")
     silent_frames = F.size(
@@ -277,7 +280,7 @@ def audio_quality(clips: DataFrame, with_afp: bool = False) -> DataFrame:
         clipped.alias("clipped"),
         silence_ratio.alias("silence_ratio"),
         F.coalesce(keep, F.lit(False)).alias("audio_keep"),
-        *(["afp"] if with_afp else []),
+        *extra,
     )
 
 
@@ -411,7 +414,11 @@ def speech_rate(
     )
 
 
-def audio_vad(clips: DataFrame, threshold: float = RMS_SILENCE) -> DataFrame:
+def audio_vad(
+    clips: DataFrame | None = None,
+    threshold: float = RMS_SILENCE,
+    stats: DataFrame | None = None,
+) -> DataFrame:
     """(clip_id, decode_ok, n_active, active_ratio, longest_run) —
     energy-based voice-activity signals over the 8 per-clip frame
     energies: frames at or above ``threshold`` RMS count as active,
@@ -421,8 +428,19 @@ def audio_vad(clips: DataFrame, threshold: float = RMS_SILENCE) -> DataFrame:
     the shared :func:`audio_stats` decode pass — the run-length scan
     is an O(8) ``F.aggregate`` fold per row, no shuffle, no second
     Arrow trip. Undecodable clips keep their row with null signals
-    (total annotation, same contract as audio_quality)."""
-    st = audio_stats(clips)
+    (total annotation, same contract as audio_quality).
+
+    Pass ``stats`` — any table carrying (clip_id, decode_ok,
+    frame_energy), e.g. an audio-gated run's kept table or a committed
+    audio_stats snapshot — to skip the decode entirely: the fold then
+    runs as pure Catalyst over persisted frame energies (the --vad
+    job pass does this; exactly one of clips/stats)."""
+    if (clips is None) == (stats is None):
+        raise ValueError(
+            "audio_vad: pass exactly one of clips (decode in-line) or "
+            "stats (precomputed (clip_id, decode_ok, frame_energy))"
+        )
+    st = stats if stats is not None else audio_stats(clips)
     active = F.transform(
         "frame_energy",
         lambda e: (e >= F.lit(threshold)).cast("int"),

@@ -42,26 +42,28 @@ from ungoliant_spark.operators.trim import apply_trim
 DEFAULT_SALT_BUCKETS = 16
 
 
-def audio_gate_columns(clips: DataFrame, with_afp: bool = False) -> DataFrame:
-    """(clip_id, audio_keep, audio_warnings[, afp]) — the audio-side gate
+def audio_gate_columns(
+    clips: DataFrame, extra: tuple[str, ...] = ()
+) -> DataFrame:
+    """(clip_id, audio_keep, audio_warnings[, *extra]) — the audio-side gate
     (operators/audio_ops.audio_quality: one shared decode pass) with
     its drop reasons rendered as quality_warnings-style strings, so
     the decision surface records WHY a clip's audio failed (the same
     lineage discipline as the transcript annotators; reference
     annotator→drop chain, /root/reference/src/pipelines/oscardoc/
-    pipeline.rs:213-226). ``with_afp`` rides the acoustic
-    fingerprint along from the same decode pass so the gate's decode
-    is never repeated by a later dedup pass."""
+    pipeline.rs:213-226). ``extra`` rides named audio_stats columns
+    (afp, frame_energy) along from the same decode pass so the gate's
+    decode is never repeated by later dedup/VAD passes."""
     from ungoliant_spark.operators.audio_ops import (
         MAX_SILENCE_RATIO,
         audio_quality,
     )
 
-    aq = audio_quality(clips, with_afp=with_afp)
+    aq = audio_quality(clips, extra=extra)
     return aq.select(
         "clip_id",
         "audio_keep",
-        *(["afp"] if with_afp else []),
+        *extra,
         F.array_compact(
             F.array(
                 F.when(~F.col("decode_ok"), F.lit("audio_undecodable")),
@@ -320,12 +322,12 @@ def run(
         # survivors that fail the audio gate are dropped here with
         # their reasons recorded via decide(audio_gate=True) /
         # audio_gate_columns for audits
-        # with_afp: the acoustic fingerprint rides along from the
-        # SAME decode pass and lands on the kept rows as a metadata
-        # column, so follow-on acoustic dedup passes (--audio-dedup /
-        # --ref-fingerprints) reuse it instead of re-decoding the
-        # whole kept corpus (round-6 verdict item 3)
-        aq = audio_gate_columns(clips, with_afp=True)
+        # decode artifacts ride along from the SAME decode pass and
+        # land on the kept rows as metadata columns: afp feeds the
+        # follow-on acoustic dedup passes (--audio-dedup /
+        # --ref-fingerprints) and frame_energy feeds --vad, so none
+        # of them re-decodes the kept corpus (round-6 verdict item 3)
+        aq = audio_gate_columns(clips, extra=("afp", "frame_energy"))
         kept = (
             kept.join(aq, "clip_id", "left")
             .withColumn(
@@ -353,7 +355,9 @@ def run(
         kept = salted_repartition(kept, n_partitions)
     # audio-gated runs append afp after the stable column set, so the
     # default (ungated) sink schema stays bit-identical
-    out_cols = FINAL_COLUMNS + (["afp"] if audio_gate else [])
+    out_cols = FINAL_COLUMNS + (
+        ["afp", "frame_energy"] if audio_gate else []
+    )
     return kept.select(
         *[
             F.col("scrubbed").alias("transcript") if c == "transcript" else c
