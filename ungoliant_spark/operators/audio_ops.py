@@ -120,7 +120,15 @@ def _stats_one(data: bytes, codec: str, sr: int) -> dict:
         }
     rms = float(np.sqrt((x**2).mean()))
     peak = int(np.abs(pcm).max())
-    zcr = float((np.abs(np.diff(np.signbit(x).astype(np.int8))) > 0).mean())
+    # n == 1 has no sample-to-sample transitions: zcr is 0.0 by
+    # definition, not NaN (np.diff gives an empty array whose mean is
+    # NaN — found by hypothesis shrinking in test_property_kernels;
+    # a NaN here would poison every downstream quality comparison)
+    zcr = (
+        float((np.abs(np.diff(np.signbit(x).astype(np.int8))) > 0).mean())
+        if n > 1
+        else 0.0
+    )
     # centroid from a bounded head segment: an O(n log n) FFT over a
     # multi-minute clip buys no precision for a summary statistic and
     # would let rare huge clips dominate task time (skew)
