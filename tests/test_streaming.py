@@ -347,3 +347,88 @@ def test_stream_dedup_readmits_after_horizon(spark, tmp_path):
     # 0 ("x" first copy), 1 ("z"), 180 ("q"), 190 ("w"), 195 ("x"
     # re-admitted); 30 (in-horizon duplicate) dropped
     assert got == [0, 1, 180, 190, 195]
+
+
+def test_stream_audio_dedup(spark, tmp_path):
+    """Streaming acoustic dedup drops re-uploads of the SAME AUDIO
+    across micro-batches — including a re-upload re-encoded into the
+    other container (raw PCM vs RIFF/WAVE of identical samples have
+    equal afp words, which byte-level dedup cannot see) — while
+    undecodable clips pass through one-per-clip (surrogate key, never
+    merged on the null fingerprint)."""
+    import os
+
+    import numpy as np
+
+    from ungoliant_spark.sources.audio import encode, synth_pcm
+    from ungoliant_spark.streaming.quality_stream import (
+        stream_audio_dedup,
+    )
+
+    def clip(i, codec, sr=16000, dur=300):
+        pcm = synth_pcm(np.random.default_rng(1000 + i), sr, dur)
+        return pcm, encode(pcm, sr, codec)
+
+    from datetime import datetime
+
+    t1 = datetime(2026, 1, 1, 0, 0, 0)
+    t2 = datetime(2026, 1, 1, 0, 10, 0)
+    schema = (
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string, case_class string, "
+        "ingest_ts timestamp"
+    )
+    base = []
+    pcms = {}
+    for i in range(12):
+        codec = "pcm_s16le" if i % 2 == 0 else "wav"
+        pcm, data = clip(i, codec)
+        pcms[i] = (pcm, codec)
+        base.append(
+            (f"c{i:02d}", bytearray(data), 16000, 300, codec, f"t{i}", "ok", t1)
+        )
+    # batch 2: one exact byte re-upload, one re-encoded into the OTHER
+    # container, two undecodable clips, one genuinely fresh clip
+    reup = (
+        "reup-0", base[0][1], 16000, 300, "pcm_s16le", "re", "dup", t2
+    )
+    other = "wav" if pcms[1][1] == "pcm_s16le" else "pcm_s16le"
+    reenc = (
+        "reenc-1",
+        bytearray(encode(pcms[1][0], 16000, other)),
+        16000, 300, other, "re", "dup", t2,
+    )
+    bad = [
+        (f"bad-{k}", bytearray(b"xx"), 16000, 300, "opus", "b", "bad", t2)
+        for k in range(2)
+    ]
+    _, fresh_data = clip(99, "wav")
+    fresh = ("fresh-0", bytearray(fresh_data), 16000, 300, "wav", "f", "ok", t2)
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for n, rows in enumerate([base, [reup, reenc, *bad, fresh]]):
+        d = str(tmp_path / f"b{n}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                dst = f"{flat}/part-{n}.parquet"
+                os.rename(f"{d}/{f}", dst)
+                os.utime(dst, (1700000000 + n, 1700000000 + n))
+
+    q = stream_audio_dedup(
+        spark, flat, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    ids = {r.clip_id for r in out.select("clip_id").collect()}
+    assert ids == {f"c{i:02d}" for i in range(12)} | {
+        "bad-0",
+        "bad-1",
+        "fresh-0",
+    }
+    # undecodable rows carry a null fingerprint but BOTH survive
+    assert out.filter("afp is null").count() == 2

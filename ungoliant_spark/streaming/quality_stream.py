@@ -316,3 +316,98 @@ def stream_exact_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_audio_dedup(
+    spark: SparkSession,
+    clips_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark_delay: str = "1 hour",
+    ts_col: str = "ingest_ts",
+    max_files_per_trigger: int = 1,
+    available_now: bool = False,
+):
+    """Streaming ACOUSTIC dedup on ingest — the audio twin of
+    :func:`stream_exact_dedup` and the online half of the acoustic
+    dedup story: the first clip carrying each 63-bit acoustic
+    fingerprint (``afp63``, the same word the batch banded-Hamming
+    family joins on) passes; later re-uploads of the SAME AUDIO are
+    dropped across micro-batches even when their bytes differ — raw
+    PCM and a RIFF/WAVE container of identical samples fingerprint
+    identically (pinned by test_audio_codecs_agree), which byte-level
+    dedup cannot see.
+
+    Exact-afp only, by design: near-duplicate suppression
+    (gain-scaled / re-noised copies at Hamming ≤ 3) requires the
+    banded candidate JOIN, which bounded streaming state cannot
+    express — that remains the batch pass (audio_dup_components).
+    This operator is the cheap online guard that stops re-upload
+    storms at ingest; the batch pass sweeps what slips through.
+
+    State is one afp entry per distinct fingerprint inside the
+    watermark horizon, EVICTED as event time advances
+    (``dropDuplicatesWithinWatermark``) — bounded on an unbounded
+    stream. A re-upload after the horizon re-admits (same contract as
+    the text stream).
+
+    Undecodable clips are NOT silently merged or dropped: the dedup
+    key falls back to a per-clip surrogate in negative key space
+    (real afp words are non-negative), so every undecodable clip
+    passes through for the downstream gate to judge.
+
+    The decode runs inside the stream's single Arrow node (the same
+    per-clip ``_stats_one`` kernel the batch gate uses); the full row
+    — including ``bytes`` — rides through that node, which is the
+    ingest-time cost of deciding on audio content rather than
+    metadata."""
+    from ungoliant_spark.operators.audio_ops import _stats_one
+
+    src = (
+        spark.readStream.schema(
+            CLIPS_SCHEMA_DDL + f", {ts_col} timestamp"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(clips_dir)
+    )
+    out_t = T.StructType(
+        src.schema.fields + [T.StructField("afp", T.LongType())]
+    )
+
+    def batches(it):
+        for pdf in it:
+            afps = []
+            for data, codec, sr in zip(
+                pdf["bytes"], pdf["codec"], pdf["sr_hz"]
+            ):
+                d = _stats_one(bytes(data), codec, int(sr))
+                afps.append(d["afp"] if d["decode_ok"] else None)
+            out = pdf.copy()
+            # nullable Int64: a batch mixing decode failures with
+            # full-width 63-bit words must not coerce to float64
+            # (Arrow int64 safe-cast overflow — see audio_stats)
+            out["afp"] = pd.array(afps, dtype="Int64")
+            yield out
+
+    fingerprinted = src.mapInPandas(batches, schema=out_t)
+    deduped = (
+        fingerprinted.withColumn(
+            "afp_key",
+            F.coalesce(
+                F.col("afp"),
+                -F.abs(F.xxhash64("clip_id")) - F.lit(1),
+            ),
+        )
+        .withWatermark(ts_col, watermark_delay)
+        .dropDuplicatesWithinWatermark(["afp_key"])
+        .drop("afp_key")
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
