@@ -159,3 +159,76 @@ def test_scrub_examples(spark):
     for r in out:
         assert r["scrubbed"] == r["expected"], r["content"]
         assert oracle.scrub(r["content"]) == r["expected"]
+
+
+# three-way scrub parity corpus: every engine that runs the frozen PII
+# chain, on the traps where regex dialects differ — unicode digits
+# (\d is ASCII in Java and RE2; the Python twin rewrites \d→[0-9]),
+# single-pass residue, placeholder adjacency, multiline input
+PII_AGREE_CASES = [
+    "",
+    "no pii here",
+    "reach me at bob.smith+tag@example.co.uk today",
+    "a@b.cc@d.ee",           # chain is single-pass: residue stays
+    "<EMAIL>@x.com",         # token-adjacency trap
+    "ip 10.0.0.1 and 999.999.999.999 end",
+    "1.2.3.4.5.6.7.8",
+    "fe80::1",
+    "2001:0db8:85a3:0000:0000:8a2e:0370:7334",
+    "call 555.123.4567 now",
+    "(555) 123-4567",
+    "+1 (555) 123-4567",
+    "+44 20 7946 0958",
+    "call ٥٥٥.١٢٣.٤٥٦٧ now",   # Arabic-Indic digits: \d matches in NO engine
+    "ip ١.٢.٣.٤ here",
+    "５５５.１２３.４５６７",      # fullwidth digits: same
+    "x55.123.4567",
+    "mixed ٥55.123.4567 tail",
+    "é5.123.4567 phone?",
+    "call\n555.123.4567 x",
+]
+
+# the KNOWN \b dialect split: Java's \b is unicode-aware even though
+# its \w/\d are ASCII (a documented Java quirk the Python twin shares
+# via default-unicode \b), while RE2's \b is ASCII — so a digit run
+# glued to a non-ASCII word character is "embedded in a word" to the
+# production engine and the twin, but boundary-delimited to the DuckDB
+# oracle. (scrubbed_spark == scrubbed_twin, duckdb differs as pinned.)
+PII_JAVA_B_DIVERGENCE = [
+    ("café1.2.3.4", "café1.2.3.4", "café<IP>"),
+    ("١1.2.3.4", "١1.2.3.4", "١<IP>"),
+    ("1.2.3.4é", "1.2.3.4é", "<IP>é"),
+]
+
+
+def test_scrub_three_way_parity(spark):
+    """The frozen PII chain means the SAME THING in Spark (Java
+    regex), the DuckDB oracle (RE2), and the pure-Python label twin
+    on the shared domain — and where the dialects genuinely split
+    (unicode word chars against \\b), the exact divergence is pinned
+    per engine so silent drift in ANY of the three is caught."""
+    import duckdb
+
+    from ungoliant_spark.operators.scrub import scrub_sql
+
+    cases = PII_AGREE_CASES + [c for c, _, _ in PII_JAVA_B_DIVERGENCE]
+    df = spark.createDataFrame(
+        list(enumerate(cases)), "i int, content string"
+    )
+    got_spark = {r.i: r.scrubbed for r in apply_scrub(df).collect()}
+    con = duckdb.connect()
+    con.execute("create table t(i int, content varchar)")
+    con.executemany("insert into t values (?, ?)", list(enumerate(cases)))
+    got_duck = dict(
+        con.execute(f"select i, {scrub_sql('content')} from t").fetchall()
+    )
+    for i, s in enumerate(PII_AGREE_CASES):
+        py = oracle.scrub(s)
+        assert got_spark[i] == py == got_duck[i], (
+            i, repr(s), got_spark[i], py, got_duck[i],
+        )
+    base = len(PII_AGREE_CASES)
+    for k, (s, want_engine, want_duck) in enumerate(PII_JAVA_B_DIVERGENCE):
+        i = base + k
+        assert got_spark[i] == oracle.scrub(s) == want_engine, repr(s)
+        assert got_duck[i] == want_duck, repr(s)

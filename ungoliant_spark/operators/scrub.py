@@ -10,6 +10,17 @@ repo (FIXTURES.md §3.8): they are deliberately restricted to syntax
 with identical semantics in Java regex (Spark) and RE2 (DuckDB
 oracle): no backreferences, no lookaround, greedy quantifiers only.
 
+One dialect split survives that restriction and is pinned rather than
+papered over: ``\b``. Java's ``\b`` is unicode-aware even though its
+``\w``/``\d`` are ASCII (so ``café1.2.3.4`` has NO boundary before
+the 1 — the digits are "embedded in a word" and not scrubbed), while
+RE2's ``\b`` is ASCII (boundary → scrubbed). The production semantics
+are Java's; the Python label twin (oracle.scrub) reproduces them
+exactly (``\d``→``[0-9]`` + default-unicode ``\b``); the DuckDB
+oracle is authoritative only on the shared domain, and the exact
+divergence cases are pinned per-engine in
+tests/test_heuristics_parity.py::test_scrub_three_way_parity.
+
 Spark-first: a chain of ``regexp_replace`` Catalyst expressions —
 zero Python, whole-stage codegen. The audio ``bytes`` column is never
 touched (north_rule PCM-passthrough invariant).

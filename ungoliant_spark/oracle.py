@@ -186,7 +186,17 @@ def scrub(text: str) -> str:
     """The frozen PII chain (operators/scrub.py) via Python re —
     identical greedy, lookaround-free patterns."""
     for pattern, token in SCRUB_CHAIN:
-        text = re.sub(pattern, token, text)
+        # This twin mirrors the PRODUCTION engine (Java regex) exactly:
+        # \d is rewritten to explicit [0-9] because Java's \d is
+        # ASCII-only while Python's default is unicode (the unmodified
+        # pattern would scrub Arabic-Indic/fullwidth-digit phone
+        # numbers the engine does not); \b KEEPS Python's unicode word
+        # semantics, which matches the Java quirk that \b is
+        # unicode-aware even though \w/\d are ASCII ("café1.2.3.4" has
+        # no boundary before the 1 in either). The DuckDB oracle (RE2)
+        # has an ASCII \b instead — test_heuristics_parity pins both
+        # the shared three-way domain and the known \b divergences.
+        text = re.sub(pattern.replace(r"\d", "[0-9]"), token, text)
     return text
 
 
