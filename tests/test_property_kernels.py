@@ -263,3 +263,61 @@ def test_audio_codecs_agree(pcm, sr):
     raw = _stats_one(encode(pcm, sr, "pcm_s16le"), "pcm_s16le", sr)
     wav = _stats_one(encode(pcm, sr, "wav"), "wav", sr)
     assert raw == wav
+
+
+# ------------------------------------------------------------- resample
+
+@settings(max_examples=60, **COMMON)
+@given(
+    pcm=hnp.arrays(
+        dtype=np.int16,
+        shape=st.integers(0, 2000),
+        elements=st.integers(-32768, 32767),
+    ),
+    sr=st.sampled_from(_SRS),
+    target=st.sampled_from([8000, 16000, 22050]),
+)
+def test_resample_engine_matches_scalar(pcm, sr, target):
+    """Engine np.interp resample kernel vs the independent per-sample
+    scalar twin (tests/independent/resample_scalar): same output
+    length, per-sample agreement within 1 int16 LSB (the two
+    implementations group the interpolation arithmetic differently —
+    the honest float bound), and every output inside the input's
+    value envelope (linear interpolation is a convex combination)."""
+    from resample_scalar import resample_scalar
+
+    from ungoliant_spark.operators.audio_ops import _resample_one
+    from ungoliant_spark.sources.audio import encode
+
+    got = _resample_one(encode(pcm, sr, "pcm_s16le"), "pcm_s16le", sr, target)
+    n_ind, b_ind = resample_scalar(pcm, sr, target)
+    assert got["n_samples_out"] == n_ind
+    eng = np.frombuffer(got["bytes_out"], dtype="<i2").astype(np.int32)
+    ind = np.frombuffer(b_ind, dtype="<i2").astype(np.int32)
+    assert len(eng) == len(ind) == n_ind
+    assert np.abs(eng - ind).max(initial=0) <= 1
+    if len(pcm):
+        assert eng.min() >= int(pcm.min()) - 1
+        assert eng.max() <= int(pcm.max()) + 1
+
+
+@settings(max_examples=40, **COMMON)
+@given(
+    pcm=hnp.arrays(
+        dtype=np.int16,
+        shape=st.integers(1, 2000),
+        elements=st.integers(-32768, 32767),
+    ),
+    sr=st.sampled_from(_SRS),
+)
+def test_resample_identity_rate_is_exact(pcm, sr):
+    """Resampling at the input's own rate must reproduce the input
+    BIT-EXACTLY (every output time hits an input sample point; linear
+    interpolation is exact there) — the strongest no-tolerance pin the
+    kernel admits."""
+    from ungoliant_spark.operators.audio_ops import _resample_one
+    from ungoliant_spark.sources.audio import encode
+
+    got = _resample_one(encode(pcm, sr, "pcm_s16le"), "pcm_s16le", sr, sr)
+    assert got["n_samples_out"] == len(pcm)
+    assert got["bytes_out"] == pcm.astype("<i2").tobytes()

@@ -200,30 +200,40 @@ def resample(clips: DataFrame, target_sr: int = 16000) -> DataFrame:
             for cid, data, codec, sr in zip(
                 pdf["clip_id"], pdf["bytes"], pdf["codec"], pdf["sr_hz"]
             ):
-                try:
-                    pcm = decode(bytes(data), codec).astype(np.float64)
-                except NotImplementedError:
-                    rows.append(
-                        {"clip_id": cid, "target_sr": target_sr,
-                         "n_samples_out": None, "bytes_out": None}
-                    )
-                    continue
-                n_out = max(1, int(round(len(pcm) * target_sr / int(sr))))
-                t_in = np.arange(len(pcm)) / int(sr)
-                t_out = np.arange(n_out) / target_sr
-                out = np.interp(t_out, t_in, pcm) if len(pcm) else np.zeros(1)
-                out16 = np.clip(out, -32768, 32767).astype("<i2")
-                rows.append(
-                    {
-                        "clip_id": cid,
-                        "target_sr": target_sr,
-                        "n_samples_out": n_out,
-                        "bytes_out": out16.tobytes(),
-                    }
-                )
+                d = _resample_one(bytes(data), codec, int(sr), target_sr)
+                d["clip_id"] = cid
+                rows.append(d)
             yield pd.DataFrame(rows, columns=[f.name for f in RESAMPLE_T])
 
     return narrow.mapInPandas(batches, schema=RESAMPLE_T)
+
+
+def _resample_one(
+    data: bytes, codec: str, sr: int, target_sr: int
+) -> dict:
+    """Per-clip linear-interp resample kernel (the body of
+    :func:`resample`'s Arrow batches; factored out so the property
+    pins in tests/test_property_kernels.py can hold it to the
+    independent scalar twin — the count contract alone is what the
+    driver row hashes)."""
+    try:
+        pcm = decode(data, codec).astype(np.float64)
+    except NotImplementedError:
+        return {
+            "target_sr": target_sr,
+            "n_samples_out": None,
+            "bytes_out": None,
+        }
+    n_out = max(1, int(round(len(pcm) * target_sr / int(sr))))
+    t_in = np.arange(len(pcm)) / int(sr)
+    t_out = np.arange(n_out) / target_sr
+    out = np.interp(t_out, t_in, pcm) if len(pcm) else np.zeros(1)
+    out16 = np.clip(out, -32768, 32767).astype("<i2")
+    return {
+        "target_sr": target_sr,
+        "n_samples_out": n_out,
+        "bytes_out": out16.tobytes(),
+    }
 
 
 # -- audio-side quality gate ------------------------------------------
