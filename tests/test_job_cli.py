@@ -559,3 +559,101 @@ def test_cli_rate_gate(spark, tmp_path):
     )
     assert res.returncode != 0
     assert "run config mismatch" in (res.stderr + res.stdout)
+
+
+def _run_stream_cli(args: list[str]) -> str:
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    res = subprocess.run(
+        [sys.executable, "jobs/run_stream.py", *args],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    return res.stdout
+
+
+def test_stream_cli_audio_dedup_available_now(tmp_path):
+    """jobs/run_stream.py --mode audio-dedup drains a bounded input
+    (--available-now) and drops the byte-identical re-upload while
+    keeping every distinct clip — streaming-family job reachability."""
+    from datetime import datetime
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ungoliant_spark.sources.audio import encode, synth_pcm
+
+    rows = []
+    for i in range(4):
+        pcm = synth_pcm(np.random.default_rng(7 + i), 16000, 250)
+        rows.append(
+            (f"c{i}", encode(pcm, 16000, "pcm_s16le"), 16000, 250,
+             "pcm_s16le", f"t{i}", "ok", datetime(2026, 1, 1, 0, 0, 0))
+        )
+    rows.append(
+        ("dup-c0", rows[0][1], 16000, 250, "pcm_s16le", "re", "dup",
+         datetime(2026, 1, 1, 0, 5, 0))
+    )
+    schema = pa.schema(
+        [
+            ("clip_id", pa.string()),
+            ("bytes", pa.binary()),
+            ("sr_hz", pa.int32()),
+            ("dur_ms", pa.int32()),
+            ("codec", pa.string()),
+            ("transcript", pa.string()),
+            ("case_class", pa.string()),
+            ("ingest_ts", pa.timestamp("us", tz="UTC")),
+        ]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.Table.from_pylist(
+            [dict(zip(schema.names, r)) for r in rows], schema=schema
+        ),
+        str(src / "part-0.parquet"),
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stdout = _run_stream_cli(
+        ["--mode", "audio-dedup", "--input", str(src), "--output", out,
+         "--checkpoint", ckpt, "--available-now"]
+    )
+    assert "stream audio-dedup: committed" in stdout
+    got = duckdb.sql(
+        f"select clip_id from read_parquet('{out}/*.parquet')"
+    ).fetchall()
+    ids = {r[0] for r in got}
+    assert ids == {"c0", "c1", "c2", "c3"}
+
+
+def test_stream_cli_quality_available_now(tmp_path):
+    """jobs/run_stream.py --mode quality drains the input dir through
+    the full decide() surface and writes lang_bucket-partitioned kept
+    rows — the online twin of the batch pipeline, job-reachable."""
+    import shutil as sh
+
+    import duckdb
+
+    from ungoliant_spark.sources.fixtures import generate
+
+    clips = os.path.join(generate(0.001, with_labels=False), "clips.parquet")
+    src = tmp_path / "src"
+    src.mkdir()
+    sh.copy(clips, str(src / "part-0.parquet"))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stdout = _run_stream_cli(
+        ["--mode", "quality", "--input", str(src), "--output", out,
+         "--checkpoint", ckpt, "--available-now"]
+    )
+    assert "stream quality: committed" in stdout
+    n = duckdb.sql(
+        f"select count(*) from read_parquet('{out}/**/*.parquet', "
+        "hive_partitioning=true)"
+    ).fetchone()[0]
+    assert n > 0
