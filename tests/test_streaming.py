@@ -432,3 +432,68 @@ def test_stream_audio_dedup(spark, tmp_path):
     }
     # undecodable rows carry a null fingerprint but BOTH survive
     assert out.filter("afp is null").count() == 2
+
+
+def test_stream_audio_dedup_state_survives_restart(spark, tmp_path):
+    """The restart-safety claim, pinned end-to-end: a SECOND query
+    started from the same checkpoint (1) does not re-emit the files
+    the first run committed (exactly-once source progress) and
+    (2) RESTORES the dedup state — a re-upload arriving only after
+    the restart is still dropped against a fingerprint first seen
+    before it."""
+    import os
+    from datetime import datetime
+
+    import numpy as np
+
+    from ungoliant_spark.sources.audio import encode, synth_pcm
+    from ungoliant_spark.streaming.quality_stream import (
+        stream_audio_dedup,
+    )
+
+    schema = (
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string, case_class string, "
+        "ingest_ts timestamp"
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write_file(n, rows):
+        stage = str(tmp_path / f"stage{n}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = f"{src}/wave-{n}.parquet"
+        os.rename(f"{stage}/{part}", dst)
+        os.utime(dst, (1_700_000_000 + 10 * n,) * 2)
+
+    def clip(i, cid, ts):
+        pcm = synth_pcm(np.random.default_rng(400 + i), 16000, 250)
+        return (
+            cid, bytearray(encode(pcm, 16000, "pcm_s16le")), 16000, 250,
+            "pcm_s16le", f"t{i}", "ok", ts,
+        )
+
+    t1, t2 = datetime(2026, 1, 1, 0, 0, 0), datetime(2026, 1, 1, 0, 5, 0)
+    first = [clip(i, f"c{i}", t1) for i in range(4)]
+    write_file(1, first)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q1 = stream_audio_dedup(spark, src, out, ckpt, available_now=True)
+    q1.awaitTermination()
+    assert spark.read.parquet(out).count() == 4
+
+    # AFTER the first query finished: a byte-identical re-upload of c0
+    # (same afp, inside the 1 h horizon) plus one fresh clip
+    write_file(2, [
+        ("dup-c0", first[0][1], 16000, 250, "pcm_s16le", "re", "dup", t2),
+        clip(9, "c9", t2),
+    ])
+    q2 = stream_audio_dedup(spark, src, out, ckpt, available_now=True)
+    q2.awaitTermination()
+
+    rows = spark.read.parquet(out).groupBy("clip_id").count().collect()
+    counts = {r.clip_id: r["count"] for r in rows}
+    # no re-emits of wave-1, the restored state drops the re-upload,
+    # the fresh clip lands
+    assert counts == {"c0": 1, "c1": 1, "c2": 1, "c3": 1, "c9": 1}
