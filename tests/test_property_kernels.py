@@ -321,3 +321,61 @@ def test_resample_identity_rate_is_exact(pcm, sr):
     got = _resample_one(encode(pcm, sr, "pcm_s16le"), "pcm_s16le", sr, sr)
     assert got["n_samples_out"] == len(pcm)
     assert got["bytes_out"] == pcm.astype("<i2").tobytes()
+
+
+# ------------------------------------------------- ARPA artifact formats
+
+_corpus_sentences = st.lists(
+    st.lists(
+        st.sampled_from("alpha beta gamma delta eps zeta".split())
+        | st.text(
+            alphabet=st.characters(codec="utf-8", exclude_characters=" \t\n\r\\"),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=30, **COMMON)
+@given(sentences=_corpus_sentences, queries=_arpa_tokens)
+def test_arpa_artifact_roundtrip_preserves_scoring(
+    sentences, queries, tmp_path_factory
+):
+    """train → write_arpa → load_arpa → compile_binary → load_binary
+    is score-preserving for an arbitrary training corpus (unicode
+    tokens included): both loaded artifacts give the in-memory model's
+    exact perplexity on arbitrary query strings, and the text artifact
+    parses back to the 6-dp-quantized weights write_arpa emits. Pins
+    the whole artifact seam the production job crosses (the reference
+    prefers .binary over .arpa the same way)."""
+    from ungoliant_spark.arpa import (
+        ArpaModel,
+        compile_binary,
+        train_arpa,
+        write_arpa,
+    )
+
+    tmp = tmp_path_factory.mktemp("arpa_prop")
+    model = train_arpa(sentences)
+    path = str(tmp / "m.arpa")
+    write_arpa(model, path)
+    from_text = ArpaModel.load_arpa(path)
+    from_bin = ArpaModel.load_binary(compile_binary(path))
+    assert from_bin.model == from_text.model
+    text = " ".join(queries)
+    got_text = from_text.perplexity(text)
+    got_bin = from_bin.perplexity(text)
+    assert got_text == got_bin
+    # the text artifact quantizes weights to 6 dp — loading must give
+    # exactly those quantized values back (no parse drift)
+    for n, entries in from_text.model.items():
+        for ng, (lp, bow) in entries.items():
+            src_lp, src_bow = model[n][ng]
+            assert lp == float(f"{src_lp:.6f}"), (n, ng)
+            if bow is not None and src_bow is not None:
+                assert bow == float(f"{src_bow:.6f}"), (n, ng)
