@@ -657,3 +657,56 @@ def test_stream_cli_quality_available_now(tmp_path):
         "hive_partitioning=true)"
     ).fetchone()[0]
     assert n > 0
+
+
+def test_stream_cli_text_dedup_available_now(tmp_path):
+    """jobs/run_stream.py --mode dedup: watermark-bounded exact
+    transcript dedup on ingest through the CLI wiring (--ts-col /
+    --watermark defaults) — the first copy passes, the same-horizon
+    recrawl copy drops."""
+    from datetime import datetime
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            ("clip_id", pa.string()),
+            ("bytes", pa.binary()),
+            ("sr_hz", pa.int32()),
+            ("dur_ms", pa.int32()),
+            ("codec", pa.string()),
+            ("transcript", pa.string()),
+            ("case_class", pa.string()),
+            ("ingest_ts", pa.timestamp("us", tz="UTC")),
+        ]
+    )
+    t1, t2 = datetime(2026, 1, 1, 0, 0, 0), datetime(2026, 1, 1, 0, 9, 0)
+    rows = [
+        ("a", b"x", 16000, 100, "pcm_s16le", "hello world", "ok", t1),
+        ("b", b"x", 16000, 100, "pcm_s16le", "fresh text", "ok", t1),
+        # same transcript modulo the dedup normalization, new id
+        ("a-again", b"x", 16000, 100, "pcm_s16le", "Hello   WORLD", "dup", t2),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.Table.from_pylist(
+            [dict(zip(schema.names, r)) for r in rows], schema=schema
+        ),
+        str(src / "part-0.parquet"),
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stdout = _run_stream_cli(
+        ["--mode", "dedup", "--input", str(src), "--output", out,
+         "--checkpoint", ckpt, "--available-now"]
+    )
+    assert "stream dedup: committed" in stdout
+    ids = {
+        r[0]
+        for r in duckdb.sql(
+            f"select clip_id from read_parquet('{out}/*.parquet')"
+        ).fetchall()
+    }
+    assert ids == {"a", "b"}
