@@ -379,3 +379,44 @@ def test_arpa_artifact_roundtrip_preserves_scoring(
             assert lp == float(f"{src_lp:.6f}"), (n, ng)
             if bow is not None and src_bow is not None:
                 assert bow == float(f"{src_bow:.6f}"), (n, ng)
+
+
+# --------------------------------------------- banded-Hamming pigeonhole
+
+@settings(max_examples=200, **COMMON)
+@given(
+    word=st.integers(0, (1 << 63) - 1),
+    flips=st.lists(st.integers(0, 62), min_size=0, max_size=3, unique=True),
+)
+def test_banded_pigeonhole_is_lossless(word, flips):
+    """The lossless claim behind every banded-Hamming join (text
+    SimHash AND acoustic afp): for ANY 63-bit word and ANY ≤3 bit
+    flips, the two words share at least one identical band chunk under
+    SIMHASH_BANDS — so the (band, chunk) equi-join can never miss a
+    Hamming-≤3 pair. Chunks are extracted here with independent pure
+    Python (mask arithmetic mirrors the published banding argument,
+    not the engine's Catalyst expressions); the distance-0 case (no
+    flips) must collide on EVERY band."""
+    from ungoliant_spark.operators.dedup import SIMHASH_BANDS
+
+    other = word
+    for b in flips:
+        other ^= 1 << b
+
+    def chunks(w):
+        return [
+            (w >> off) & ((1 << width) - 1) for off, width in SIMHASH_BANDS
+        ]
+
+    same = [a == b for a, b in zip(chunks(word), chunks(other))]
+    assert any(same)
+    if not flips:
+        assert all(same)
+    # and the bound is tight: flipping one bit in EVERY band defeats
+    # 4-band pigeonhole at Hamming 4 (why max_hamming > 3 raises)
+    defeat = word
+    for off, _ in SIMHASH_BANDS:
+        defeat ^= 1 << off
+    assert not any(
+        a == b for a, b in zip(chunks(word), chunks(defeat))
+    )
