@@ -46,6 +46,43 @@ if _ROOT not in sys.path:
     sys.path.insert(0, _ROOT)
 
 
+def _write_progress(q, out_dir: str, mode: str) -> None:
+    """Persist the run's per-batch progress next to the sink as
+    ``_stream_progress.json`` (underscore prefix: parquet readers
+    treat it as hidden) — rows in/out per micro-batch plus state-store
+    size for the dedup modes, the numbers an operator needs to size
+    watermark horizons and spot a stalled source without a UI."""
+    import json
+
+    batches = q.recentProgress or []
+    summary = {
+        "mode": mode,
+        "batches": len(batches),
+        "input_rows": sum(
+            int(b.get("numInputRows", 0)) for b in batches
+        ),
+        "state_rows_last": (
+            batches[-1]["stateOperators"][0]["numRowsTotal"]
+            if batches and batches[-1].get("stateOperators")
+            else None
+        ),
+        "progress": batches,
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "_stream_progress.json"), "w") as f:
+        # progress dicts carry UUID/timestamp objects — stringify
+        json.dump(summary, f, indent=1, default=str)
+    print(
+        f"stream {mode}: {summary['batches']} batches, "
+        f"{summary['input_rows']} input rows"
+        + (
+            f", {summary['state_rows_last']} state rows"
+            if summary["state_rows_last"] is not None
+            else ""
+        )
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--mode", required=True,
@@ -118,6 +155,7 @@ def main(argv: list[str] | None = None) -> int:
                 q.stop()
         else:
             q.awaitTermination()
+        _write_progress(q, args.output, args.mode)
         print(f"stream {args.mode}: committed -> {args.output}")
         return 0
     finally:

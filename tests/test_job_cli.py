@@ -630,6 +630,14 @@ def test_stream_cli_audio_dedup_available_now(tmp_path):
     ).fetchall()
     ids = {r[0] for r in got}
     assert ids == {"c0", "c1", "c2", "c3"}
+    # per-batch observability lands next to the sink (hidden from
+    # parquet readers by the underscore prefix)
+    import json
+
+    prog = json.load(open(os.path.join(out, "_stream_progress.json")))
+    assert prog["mode"] == "audio-dedup"
+    assert prog["input_rows"] == 5
+    assert prog["batches"] >= 1
 
 
 def test_stream_cli_quality_available_now(tmp_path):
