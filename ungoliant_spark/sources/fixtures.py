@@ -498,9 +498,16 @@ def generate(
     n = n_rows_for_sf(sf)
     small_audio = n > 50_000
     rng = random.Random(SEED)
-    clips_writer = pq.ParquetWriter(clips_path, CLIPS_SCHEMA, compression="zstd")
+    # write to .tmp and rename at the end: the cache-hit check above is
+    # existence-based, so a generator killed mid-write must not leave a
+    # truncated file at the final path (r8 inherited state: an
+    # interrupted round boundary left a footer-less clips.parquet that
+    # every later session treated as done)
+    clips_tmp = clips_path + ".tmp"
+    labels_tmp = labels_path + ".tmp"
+    clips_writer = pq.ParquetWriter(clips_tmp, CLIPS_SCHEMA, compression="zstd")
     labels_writer = (
-        pq.ParquetWriter(labels_path, LABELS_SCHEMA, compression="zstd")
+        pq.ParquetWriter(labels_tmp, LABELS_SCHEMA, compression="zstd")
         if with_labels
         else None
     )
@@ -532,6 +539,8 @@ def generate(
             pa.Table.from_pylist(lchunk, schema=LABELS_SCHEMA)
         )
     clips_writer.close()
+    os.replace(clips_tmp, clips_path)
     if labels_writer is not None:
         labels_writer.close()
+        os.replace(labels_tmp, labels_path)
     return out_dir
