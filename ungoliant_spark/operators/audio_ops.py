@@ -94,11 +94,14 @@ def afp63(spec: np.ndarray, freqs: np.ndarray) -> int:
     np.add.at(bands, idx[keep], energy[keep])
     padded = np.concatenate(([0.0], bands, [0.0]))
     smooth = (padded[:-2] + padded[1:-1] + padded[2:]).astype(np.float32)
-    word = 0
-    for b in range(AFP_BANDS - 1):
-        if smooth[b] > smooth[b + 1]:
-            word |= 1 << b
-    return word
+    # vectorized bit assembly (same comparisons, same word as the
+    # former per-bit Python loop — property-pinned vs the independent
+    # twin in tests/test_property_kernels.py)
+    bits = smooth[: AFP_BANDS - 1] > smooth[1:AFP_BANDS]
+    return int(
+        (bits.astype(np.int64) << np.arange(AFP_BANDS - 1, dtype=np.int64))
+        .sum()
+    )
 
 
 def _stats_one(data: bytes, codec: str, sr: int) -> dict:
@@ -118,7 +121,8 @@ def _stats_one(data: bytes, codec: str, sr: int) -> dict:
             "zcr": 0.0, "centroid_hz": 0.0,
             "frame_energy": [0.0] * N_FRAMES, "afp": 0,
         }
-    rms = float(np.sqrt((x**2).mean()))
+    x2 = x * x  # shared by rms and frame_energy (identical values)
+    rms = float(np.sqrt(x2.mean()))
     peak = int(np.abs(pcm).max())
     # n == 1 has no sample-to-sample transitions: zcr is 0.0 by
     # definition, not NaN (np.diff gives an empty array whose mean is
@@ -139,7 +143,7 @@ def _stats_one(data: bytes, codec: str, sr: int) -> dict:
     centroid = float((freqs * spec).sum() / denom) if denom > 0 else 0.0
     bounds = np.linspace(0, n, N_FRAMES + 1, dtype=int)
     frame_energy = [
-        float(np.sqrt((x[bounds[i]: bounds[i + 1]] ** 2).mean()))
+        float(np.sqrt(x2[bounds[i]: bounds[i + 1]].mean()))
         if bounds[i + 1] > bounds[i]
         else 0.0
         for i in range(N_FRAMES)
@@ -157,6 +161,7 @@ def audio_stats(clips: DataFrame) -> DataFrame:
     narrow = clips.select("clip_id", "bytes", "codec", "sr_hz")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = [f.name for f in AUDIO_STATS_T]
         for pdf in it:
             rows = []
             for cid, data, codec, sr in zip(
@@ -165,7 +170,14 @@ def audio_stats(clips: DataFrame) -> DataFrame:
                 d = _stats_one(bytes(data), codec, int(sr))
                 d["clip_id"] = cid
                 rows.append(d)
-            out = pd.DataFrame(rows, columns=[f.name for f in AUDIO_STATS_T])
+            # column-wise construction: pd.DataFrame over row dicts
+            # takes the slow per-cell inference path (guide §4.2 —
+            # keep the per-batch pandas overhead out of the decode
+            # pass); values are identical
+            out = pd.DataFrame(
+                {name: [r[name] for r in rows] for name in names},
+                columns=names,
+            )
             # afp words use the full 63 bits; a batch mixing decode
             # failures (None) with fingerprints would coerce to
             # float64 and silently round near 2^63, overflowing the
@@ -195,6 +207,7 @@ def resample(clips: DataFrame, target_sr: int = 16000) -> DataFrame:
     narrow = clips.select("clip_id", "bytes", "codec", "sr_hz")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = [f.name for f in RESAMPLE_T]
         for pdf in it:
             rows = []
             for cid, data, codec, sr in zip(
@@ -203,7 +216,11 @@ def resample(clips: DataFrame, target_sr: int = 16000) -> DataFrame:
                 d = _resample_one(bytes(data), codec, int(sr), target_sr)
                 d["clip_id"] = cid
                 rows.append(d)
-            yield pd.DataFrame(rows, columns=[f.name for f in RESAMPLE_T])
+            # column-wise construction (see audio_stats.batches)
+            yield pd.DataFrame(
+                {name: [r[name] for r in rows] for name in names},
+                columns=names,
+            )
 
     return narrow.mapInPandas(batches, schema=RESAMPLE_T)
 
@@ -394,6 +411,8 @@ def rate_columns(min_tps: float, max_tps: float):
     split with empties dropped; one IEEE division each, no
     compounding of rounded intermediates (bit-deterministic vs the
     DuckDB twin)."""
+    from ungoliant_spark.operators.dedup import let_
+
     toks = F.size(
         F.filter(
             F.split(F.col("transcript"), r"\s+"), lambda x: x != ""
@@ -403,7 +422,11 @@ def rate_columns(min_tps: float, max_tps: float):
     tps = F.round(
         toks.cast("double") * 1000.0 / F.col("dur_ms").cast("double"), 4
     )
-    ok = (tps >= min_tps) & (tps <= max_tps)
+    # the interpreted split+filter otherwise re-evaluates once per
+    # reference (tokens_per_s + both rate_ok comparisons = 3×); the
+    # ok band is additionally let-bound on tps so the division+round
+    # happens once (dedup.let_ — bit-identical, single evaluation)
+    ok = let_(tps, lambda t: (t >= min_tps) & (t <= max_tps))
     return toks, dur_s, tps, ok
 
 

@@ -174,18 +174,38 @@ def tokens_of(text: Column) -> Column:
     return F.filter(toks, lambda x: x != F.lit(""))
 
 
+def let_(col: Column, body) -> Column:
+    """Single-evaluation let-binding for a column expression:
+    ``let_(x, f) == f(x)`` with ``x`` computed ONCE per row.
+
+    Catalyst has no common-subexpression elimination for interpreted
+    (higher-order/lambda) expressions, so an expression tree that
+    references e.g. ``tokens_of(text)`` four times re-runs the regex
+    split + filter four times per row. Binding it as the lambda
+    variable of a one-element ``transform`` evaluates it exactly once
+    (measured on decontam_flags at sf0.1/local[32]: 4.3 s → 1.3 s,
+    bit-identical output). Semantically exact: lambda variables are
+    plain value bindings, null propagation unchanged."""
+    return F.element_at(F.transform(F.array(col), body), 1)
+
+
 def shingles_of(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram hash values (array<long>)."""
-    toks = tokens_of(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            idx,
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        ),
-    ).otherwise(F.array(F.array_join(toks, " ")))
-    return F.array_distinct(F.transform(grams, lambda g: hash64(g)))
+
+    def body(toks: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                idx,
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+        return F.array_distinct(F.transform(grams, lambda g: hash64(g)))
+
+    # tokens_of referenced 4× in the gram expression → bind it once
+    # per row (guide §1.2 "per-task work"; see let_)
+    return let_(tokens_of(text), body)
 
 
 def exact_dedup(
@@ -764,6 +784,14 @@ def hamming_pairs(
         F.col("bh.chunk").alias("chunk"),
     )
     a, b = banded.alias("a"), banded.alias("b")
+    # Hamming filter BEFORE the de-duplicating exchange (guide §2.3):
+    # real fingerprint chunks are heavily skewed, so band collisions
+    # vastly outnumber true pairs (measured at sf0.1 audio: 21.7M
+    # collision rows → 3.3k pairs). Filtering inside the band join
+    # keeps the collision volume out of the dropDuplicates shuffle —
+    # only verified pairs (≤ N_BANDS copies each) are exchanged.
+    # Identical output: hamming is a function of the pair, so dedup
+    # before or after the filter selects the same rows.
     cand = (
         a.join(
             b,
@@ -771,20 +799,24 @@ def hamming_pairs(
             & (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        .filter(
+            F.bit_count(
+                F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
+            )
+            <= max_hamming
+        )
         .select(
             F.col("a.id").alias("rep_a"),
             F.col("b.id").alias("rep_b"),
-            F.col(f"a.{hash_col}").alias("sh_a"),
-            F.col(f"b.{hash_col}").alias("sh_b"),
+            F.bit_count(
+                F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
+            )
+            .cast("int")
+            .alias("hamming"),
         )
         .dropDuplicates(["rep_a", "rep_b"])
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    rep_pairs = (
-        cand.withColumn("hamming", hamming.cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("rep_a", "rep_b", "hamming")
-    )
+    rep_pairs = cand
     # inter-group expansion: groups are disjoint, so each unordered doc
     # pair occurs in exactly one (rep_a, rep_b) product — no dedup
     ga = groups.select(F.col("rep").alias("rep_a"), F.col("ids").alias("ids_a"))
@@ -989,6 +1021,19 @@ def near_dup_components(
     # near-dup edges touch a small fraction of the corpus, so each
     # round shuffles |touched| rows, not 10^12 — singletons are filled
     # in by one left join at the end.
+    #
+    # r8 optimization notes (kept as-is after measurement): two
+    # restructures were tried and REVERTED because interleaved A/B at
+    # sf0.1/local[32] showed them slower or neutral — (1) merging the
+    # msgs groupBy + left-join into one union+aggregate and
+    # pre-partitioning/sorting the edge table (2× slower per round
+    # under AQE: 0.7-0.8 s → 1.6-1.8 s), and (2) chaining 3 pointer
+    # jumps per round to cut rounds (round count UNCHANGED at 10 on
+    # the real graph — a jump only helps when the label's target
+    # already knows more, which holds on id-ordered chains but not on
+    # arbitrary-id near-dup graphs; verified by simulating the exact
+    # algorithm on the collected 512-edge sf0.1 graph: rounds(k=1,2,
+    # 3,5 jumps) all = 10).
     touched = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
@@ -1010,6 +1055,29 @@ def near_dup_components(
             F.col("label").alias("prev"),
             F.least(
                 F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            ).alias("label"),
+        )
+        # reverse-label messages (hash-to-min flavor, r8): every node
+        # also sends its freshly-computed min to its ROUND-START label
+        # target, so the min flows down label trees in the same round
+        # it flows along edges — measured on the real sf0.1 simhash
+        # graph (simulating the exact operator): 10 rounds → 5. Safe
+        # by the same invariant as the edge messages: prev points
+        # inside the component and the sent value is a component
+        # member's id, so labels stay in-component, monotone
+        # non-increasing, and any fixpoint of the richer operator is
+        # in particular a fixpoint of plain min-propagation (= all
+        # labels equal the component min).
+        rmsg = prop.groupBy("prev").agg(F.min("label").alias("rmin"))
+        prop = prop.join(
+            rmsg.select(F.col("prev").alias("tgt"), "rmin"),
+            prop.id == F.col("tgt"),
+            "left",
+        ).select(
+            "id",
+            "prev",
+            F.least(
+                F.col("label"), F.coalesce("rmin", F.col("label"))
             ).alias("label"),
         )
         # pointer jumping: follow my label's label (labels always
@@ -1111,6 +1179,16 @@ def hamming_components(
             "pigeonhole candidate generation; results would silently "
             "miss pairs. Add bands (SIMHASH_BANDS) to raise the bound."
         )
+    # persist the NARROW (id, hash) input too: it feeds both the rep
+    # build and the final doc→rep join, and recomputing it means a
+    # second full pass over the upstream DAG — for acoustic
+    # fingerprints that upstream is the whole decode (measured: the
+    # un-persisted form decoded 200k clips twice). The propagation
+    # loop below runs eagerly and materializes `reps`, which populates
+    # this cache as a side effect, so the later doc_rep join is a pure
+    # cache read — no race, no extra job. Released with the group
+    # tables (unpersist_group_tables / group_cache_scope).
+    hashed = _persist_groups(hashed.select(id_col, hash_col))
     # persisted: feeds the doc→rep join, the banded self-join (twice)
     # and the component node set; released by unpersist_group_tables
     reps = _persist_groups(
@@ -1303,7 +1381,12 @@ def minhash_components(
     (/root/reference/src/transformers/lsh.rs:10-51) — clustering is
     that downstream, specified fresh here Spark-first."""
     _check_component_threshold(threshold)
-    per_doc = _minhash_per_doc(df, id_col, text_col, n)
+    # persist the per-doc signature table: it feeds the rep build AND
+    # the doc→rep join, and recomputing it repeats the full shingle
+    # explode + 16-permutation aggregation. The eager propagation loop
+    # materializes reps first, populating this cache for the later
+    # join (same pattern as hamming_components).
+    per_doc = _persist_groups(_minhash_per_doc(df, id_col, text_col, n))
     # persisted: feeds the doc→rep join, the rep-pair band join
     # (twice) and the component node set; released by
     # unpersist_group_tables / group_cache_scope
@@ -1356,9 +1439,14 @@ def jaccard_components(
     the same reason: Jaccard depends only on the shingle sets, and
     identical sets are J = 1 ≥ threshold dups of their rep."""
     _check_component_threshold(threshold)
-    sh0 = df.select(
-        F.col(id_col).alias("id"),
-        F.array_sort(shingles_of(F.col(text_col), n)).alias("sh"),
+    # persisted: the shingle-set table feeds the rep build AND the
+    # doc→rep join — without the cache the whole shingle hashing runs
+    # twice (same pattern as hamming_components/minhash_components)
+    sh0 = _persist_groups(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.array_sort(shingles_of(F.col(text_col), n)).alias("sh"),
+        )
     )
     # persisted: doc→rep join + both sides of the prefix self-join +
     # component node set; released by unpersist_group_tables

@@ -25,20 +25,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ungoliant_spark.operators.dedup import tokens_of
+from ungoliant_spark.operators.dedup import let_, tokens_of
 
 
 def _grams(text, n: int):
     """NON-distinct word n-gram strings (array<string>) — repetition
-    needs occurrence counts, unlike dedup's distinct shingle sets."""
-    toks = tokens_of(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    needs occurrence counts, unlike dedup's distinct shingle sets.
+    The token split is let-bound (dedup.let_) so the interpreted
+    regex split+filter runs once per row, not 3×."""
+
+    def body(toks):
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let_(tokens_of(text), body)
 
 
 def repetition_signals(

@@ -428,11 +428,15 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy(
         hash64(normalize_text(F.col("text")))
     ).orderBy("doc_id")
+    # persisted: the wave layout (a window over the full docs table)
+    # is scanned once per wave by the writer loop below — without the
+    # cache each of the n_waves single-file writes recomputes the
+    # window from the parquet scan (r8: measured ~1 full pass per wave)
     waved = docs.withColumn("wave", F.row_number().over(w)).withColumn(
         "ingest_ts",
         F.to_timestamp(F.lit("2026-01-01 00:00:00"))
         + F.make_interval(secs=(F.col("wave") - 1) * 600 + F.col("doc_id") % 60),
-    )
+    ).persist()
     n_waves = waved.agg(F.max("wave").alias("m")).collect()[0]["m"]
     base_mtime = os.path.getmtime(doc_path)
     for r in range(1, n_waves + 1):
@@ -449,6 +453,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dst = os.path.join(src_dir, f"wave-{r:03d}.parquet")
         os.rename(os.path.join(wave_dir, part), dst)
         os.utime(dst, (base_mtime + 10 * r, base_mtime + 10 * r))
+    waved.unpersist()
 
     q = stream_exact_dedup(
         spark,
