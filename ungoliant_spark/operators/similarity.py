@@ -14,6 +14,8 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ungoliant_spark.operators.dedup import let_
+
 DIM = 64
 N_PLANES = 4  # per table: 2^4 buckets
 N_TABLES = 4  # union of candidates over independent tables
@@ -77,19 +79,27 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k: broadcast the query set against the corpus.
     Output (query_id, neighbor_id, rank, sim) with sim rounded to
-    6 dp and ties broken by neighbor id (deterministic)."""
+    6 dp and ties broken by neighbor id (deterministic).
+
+    Norms are precomputed per side BEFORE the join (r8, guide §1.2):
+    cosine(a, b) is three interpreted array folds, and evaluating it
+    per candidate pair re-folded both norms n_candidates times; the
+    per-row norm column is the same deterministic value, so
+    dot/(qn·cn) is bit-identical to the inline form."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qv"),
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("cv"),
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     joined = c.crossJoin(F.broadcast(q)).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    sim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    sim = F.round(
+        dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id")
     )
@@ -123,19 +133,25 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("id"),
         _as_double(F.col(vec_col)).alias("v"),
         F.explode(lsh_keys(F.col(vec_col))).alias("key"),
-    )
+    ).withColumn("n", norm(F.col("v")))
     a = keyed.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), "key"
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("n").alias("na"), "key",
     )
     b = keyed.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), "key"
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("n").alias("nb"), "key",
     )
     pairs = (
         a.join(b, "key")
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    # norms precomputed per row pre-join (see cosine_topk) —
+    # bit-identical to the inline cosine
+    sim = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
     return (
         pairs.withColumn("sim", sim)
         .filter(F.col("sim") >= F.lit(threshold))
@@ -178,19 +194,36 @@ def lsh_bucket(vec: Column, planes: list[list[float]] | None = None) -> Column:
     return out
 
 
+def _bucket_of(v: Column, planes: list[list[float]]) -> Column:
+    """Bucket id from an already-cast double vector (the let-bound
+    body shared by lsh_keys / lsh_probe_keys)."""
+    out = F.lit(0)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        s = dot(v, p)
+        out = out + F.when(s > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return out
+
+
 def lsh_keys(vec: Column, tables: list | None = None) -> Column:
     """array<struct<table:int,bucket:int>> — one key per LSH table;
     candidates are unioned across tables (standard multi-table SRP
     trade-off: recall grows with N_TABLES, probe cost with
-    N_TABLES/2^N_PLANES of the corpus)."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table"),
-                lsh_bucket(vec, planes).alias("bucket"),
-            )
-            for t, planes in enumerate(tables or TABLES)
-        ]
+    N_TABLES/2^N_PLANES of the corpus). The double-cast of the input
+    vector is let-bound once across all tables (dedup.let_) instead
+    of re-running per plane dot."""
+    tbls = tables or TABLES
+    return let_(
+        _as_double(vec),
+        lambda v: F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    _bucket_of(v, planes).alias("bucket"),
+                )
+                for t, planes in enumerate(tbls)
+            ]
+        ),
     )
 
 
@@ -208,39 +241,77 @@ def lsh_probe_keys(
     via sort_array over (|dot|, plane-idx) structs and the flip is a
     bitwiseXOR with a table-lookup power of two."""
     tables = tables or TABLES
-    v = _as_double(vec)
-    keys = []
-    for t, planes in enumerate(tables):
-        dots = [
-            dot(v, F.array(*[F.lit(x) for x in plane])) for plane in planes
-        ]
-        base = F.lit(0)
-        for i, d in enumerate(dots):
-            base = base + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        keys.append(
-            F.struct(F.lit(t).alias("table"), base.alias("bucket"))
+
+    def table_keys(v: Column, t: int, planes: list) -> Column:
+        """array of this table's probe keys, with the plane dots, the
+        base bucket and the margin ordering each let-bound so the
+        64-element interpreted dot folds run once per plane instead
+        of once per reference (the r7 expression re-evaluated every
+        dot for the base bucket AND again inside the margin sort —
+        the knn_ann_lsh explain output was 331 KB of duplicated
+        trees). Values are bit-identical (same arithmetic, bound)."""
+        dots_arr = F.array(
+            *[
+                dot(v, F.array(*[F.lit(x) for x in plane]))
+                for plane in planes
+            ]
         )
-        if n_extra:
-            ordered = F.sort_array(
-                F.array(
-                    *[
-                        F.struct(
-                            F.abs(d).alias("m"), F.lit(i).alias("i")
-                        )
-                        for i, d in enumerate(dots)
-                    ]
+
+        def with_dots(dots: Column) -> Column:
+            base = F.lit(0)
+            for i in range(len(planes)):
+                base = base + F.when(
+                    F.element_at(dots, i + 1) > 0, F.lit(1 << i)
+                ).otherwise(F.lit(0))
+
+            def with_base(base: Column) -> Column:
+                key0 = F.struct(
+                    F.lit(t).alias("table"), base.alias("bucket")
                 )
-            )
-            pow2 = F.array(*[F.lit(1 << i) for i in range(len(planes))])
-            for j in range(min(n_extra, len(planes))):
-                idx = F.element_at(ordered, j + 1)["i"]
-                flipped = base.bitwiseXOR(F.element_at(pow2, idx + 1))
-                keys.append(
-                    F.struct(
-                        F.lit(t).alias("table"), flipped.alias("bucket")
+                if not n_extra:
+                    return F.array(key0)
+                ordered = F.sort_array(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.abs(F.element_at(dots, i + 1)).alias("m"),
+                                F.lit(i).alias("i"),
+                            )
+                            for i in range(len(planes))
+                        ]
                     )
                 )
-    return F.array(*keys)
+
+                def with_ordered(ordered: Column) -> Column:
+                    pow2 = F.array(
+                        *[F.lit(1 << i) for i in range(len(planes))]
+                    )
+                    keys = [key0]
+                    for j in range(min(n_extra, len(planes))):
+                        idx = F.element_at(ordered, j + 1)["i"]
+                        flipped = base.bitwiseXOR(
+                            F.element_at(pow2, idx + 1)
+                        )
+                        keys.append(
+                            F.struct(
+                                F.lit(t).alias("table"),
+                                flipped.alias("bucket"),
+                            )
+                        )
+                    return F.array(*keys)
+
+                return let_(ordered, with_ordered)
+
+            return let_(base, with_base)
+
+        return let_(dots_arr, with_dots)
+
+    return let_(
+        _as_double(vec),
+        lambda v: F.concat(
+            *[table_keys(v, t, planes) for t, planes in enumerate(tables)]
+        ),
+    )
 
 
 IVF_N_CELLS = 32  # FIXED cell budget — independent of corpus size
@@ -331,8 +402,14 @@ def _assign_cells(
     """Rank centroids per vector by cosine (ties → lowest cid) and
     keep the best ``n_cells`` — cell 1 is the IVF assignment, >1 are
     multi-probe cells for the query side."""
-    joined = df.crossJoin(F.broadcast(cents))
-    sim = F.round(cosine(F.col("v"), F.col("cv")), 6)
+    # norms precomputed per side pre-join (see cosine_topk) —
+    # bit-identical to the inline cosine
+    joined = df.withColumn("_vn", norm(F.col("v"))).crossJoin(
+        F.broadcast(cents.withColumn("_cn", norm(F.col("cv"))))
+    )
+    sim = F.round(
+        dot(F.col("v"), F.col("cv")) / (F.col("_vn") * F.col("_cn")), 6
+    )
     w = Window.partitionBy("id").orderBy(F.desc("csim"), F.asc("cid"))
     return (
         joined.withColumn("csim", sim)
@@ -372,19 +449,22 @@ def ann_ivf_topk(
         ).cache()
     corpus_cells = _assign_cells(base, cents, 1).select(
         F.col("id").alias("neighbor_id"), F.col("v").alias("nv"), "cid"
-    )
+    ).withColumn("nn", norm(F.col("nv")))
     qbase = queries.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
     query_cells = _assign_cells(qbase, cents, nprobe).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv"), "cid"
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     joined = (
         corpus_cells.join(F.broadcast(query_cells), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    sim = F.round(cosine(F.col("qv"), F.col("nv")), 6)
+    # norms precomputed per side pre-join (see cosine_topk)
+    sim = F.round(
+        dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id")
     )
@@ -423,20 +503,23 @@ def ann_lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("cv"),
         F.explode(lsh_keys(F.col(vec_col), tables)).alias("key"),
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qv"),
         F.explode(
             lsh_probe_keys(F.col(vec_col), tables, n_extra_probes)
         ).alias("key"),
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     joined = (
         c.join(F.broadcast(q), "key")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    sim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    # norms precomputed per side pre-join (see cosine_topk)
+    sim = F.round(
+        dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id")
     )

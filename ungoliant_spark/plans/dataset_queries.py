@@ -25,6 +25,17 @@ CURATION_BUDGET = 600
 CURATION_TOPK = 10
 CURATION_SEQ_LEN = 128
 
+# state-store partition count for the two BOUNDED-REPLAY streaming
+# harnesses below. Streaming state partitioning is fixed by
+# spark.sql.shuffle.partitions at checkpoint creation, and every
+# micro-batch commits one state file per partition per stateful
+# operator — with the session's batch default (2·cores = 64) the
+# replay paid 64 tiny state commits per wave for a few thousand keys
+# of state (measured at sf0.1/local[32]: stream_dedup 5.6-10.4 s →
+# 2.1-2.3 s at 8). Production streams size this to their real key
+# volume via config; the harness state is bounded by the fixture.
+REPLAY_STATE_PARTITIONS = 8
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -354,16 +365,25 @@ def q_events_sessions_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # one micro-batch for all files: per-user rows are sorted by ts
     # inside the stateful group, so arrival order cannot reorder state
-    sess = sessionize_events(spark, src_dir, max_files_per_trigger=1 << 20)
-    q = (
-        sess.writeStream.format("parquet")
-        .option("path", sink_dir)
-        .option("checkpointLocation", ckpt_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(REPLAY_STATE_PARTITIONS)
     )
-    q.awaitTermination()
+    try:
+        sess = sessionize_events(
+            spark, src_dir, max_files_per_trigger=1 << 20
+        )
+        q = (
+            sess.writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     out = spark.read.parquet(sink_dir)
     # the sentinel itself opens a per-user singleton session ≥2 days
     # after the data; anything starting after max_ts is sentinel-born
@@ -455,17 +475,24 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.utime(dst, (base_mtime + 10 * r, base_mtime + 10 * r))
     waved.unpersist()
 
-    q = stream_exact_dedup(
-        spark,
-        src_dir,
-        sink_dir,
-        ckpt_dir,
-        watermark_delay="30 days",
-        schema_ddl="doc_id long, source string, text string",
-        text_col="text",
-        available_now=True,
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(REPLAY_STATE_PARTITIONS)
     )
-    q.awaitTermination()
+    try:
+        q = stream_exact_dedup(
+            spark,
+            src_dir,
+            sink_dir,
+            ckpt_dir,
+            watermark_delay="30 days",
+            schema_ddl="doc_id long, source string, text string",
+            text_col="text",
+            available_now=True,
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(sink_dir).select(
         "doc_id",
         "source",
