@@ -155,10 +155,16 @@ def main(argv: list[str] | None = None) -> int:
                 q.stop()
         else:
             q.awaitTermination()
-        _write_progress(q, args.output, args.mode)
         print(f"stream {args.mode}: committed -> {args.output}")
         return 0
     finally:
+        # progress lands even when a continuous run is interrupted or
+        # fails — the long-running case the docstring promises it for
+        # (ADVICE r7: it was only written on clean termination)
+        try:
+            _write_progress(q, args.output, args.mode)
+        except Exception:
+            pass
         spark.stop()
 
 

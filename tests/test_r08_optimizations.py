@@ -1,0 +1,117 @@
+"""Focused pins for the round-8 optimization changes: the operators'
+INTERNALS changed (single-eval let-bindings, filter-before-dedup in
+the banded join, reverse-label propagation messages, input-table
+persists), so each rewrite gets a gate proving the rewritten form is
+observably identical / still correct on inputs the driver fixture
+does not cover."""
+
+from __future__ import annotations
+
+import collections
+import random
+
+from pyspark.sql import functions as F
+
+from ungoliant_spark.operators import dedup as dd
+
+
+def test_let_binding_is_value_identical(spark):
+    """let_(x, f) must equal f(x) exactly — including null
+    propagation and float semantics — for scalar and array values."""
+    df = spark.createDataFrame(
+        [("a b  c", 7.0), ("", 0.0), (None, None)],
+        "text string, x double",
+    )
+    toks = dd.tokens_of(F.col("text"))
+    bound = dd.let_(toks, lambda t: F.size(t) * 2 + F.size(t))
+    inline = F.size(toks) * 2 + F.size(toks)
+    rows = df.select(
+        bound.alias("b"),
+        inline.alias("i"),
+        dd.let_(F.col("x"), lambda v: v / 3.0).alias("bx"),
+        (F.col("x") / 3.0).alias("ix"),
+    ).collect()
+    for r in rows:
+        assert r["b"] == r["i"]
+        assert r["bx"] == r["ix"]
+
+
+def test_components_on_random_graph_match_bfs(spark):
+    """near_dup_components (with the r8 reverse-label messages) must
+    produce exactly the BFS ground-truth component minima on a random
+    graph — the driver fixture's graph is small and band-structured,
+    so this pins the propagation operator on an adversarial shape."""
+    random.seed(7)
+    edges = [
+        (random.randrange(2000), random.randrange(2000))
+        for _ in range(1500)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    nodes = spark.range(2000).select(F.col("id").alias("doc_id"))
+    got = {
+        r["doc_id"]: r["component_rep"]
+        for r in dd.near_dup_components(nodes, pairs).collect()
+    }
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    seen: set[int] = set()
+    for s in list(adj):
+        if s in seen:
+            continue
+        stack, comp = [s], set()
+        while stack:
+            v = stack.pop()
+            if v in comp:
+                continue
+            comp.add(v)
+            stack.extend(adj[v] - comp)
+        seen |= comp
+        m = min(comp)
+        assert all(got[v] == m for v in comp)
+    # untouched nodes are their own singleton component
+    assert all(got[v] == v for v in range(2000) if v not in seen)
+
+
+def test_components_on_path_graph(spark):
+    """A 300-node path is the diameter-adversarial case for label
+    propagation — must converge (within max_iterations) to one
+    component labeled by the global min."""
+    pairs = spark.range(299).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    nodes = spark.range(300).select(F.col("id").alias("doc_id"))
+    out = dd.near_dup_components(nodes, pairs)
+    assert out.filter(F.col("component_rep") != 0).count() == 0
+
+
+def test_hamming_pairs_filter_first_equals_naive(spark):
+    """The r8 rewrite filters Hamming inside the band join (before
+    the de-duplicating exchange). Pin against a naive all-pairs
+    bit_count join on a hash table with heavy chunk skew (many words
+    sharing chunks without being near-dups — the case that produced
+    21.7M collision rows at sf0.1)."""
+    rng = random.Random(3)
+    words = []
+    base = 0x0123456789ABCD
+    for i in range(300):
+        w = base
+        for _ in range(rng.randrange(0, 6)):  # 0..5 bit flips
+            w ^= 1 << rng.randrange(63)
+        words.append((f"id{i:03d}", w))
+    hashed = spark.createDataFrame(words, "clip_id string, h long")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dd.hamming_pairs(hashed, "h", "clip_id").collect()
+    }
+    dd.unpersist_group_tables()
+    naive = set()
+    for i, (ida, wa) in enumerate(words):
+        for idb, wb in words[i + 1:]:
+            d = bin(wa ^ wb).count("1")
+            if d <= 3:
+                a, b = min(ida, idb), max(ida, idb)
+                naive.add((a, b, d))
+    assert got == naive

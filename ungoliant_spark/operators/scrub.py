@@ -1,4 +1,4 @@
-"""PII scrub — rewrite transcripts replacing emails / IPs / phone
+r"""PII scrub — rewrite transcripts replacing emails / IPs / phone
 numbers with fixed placeholder tokens.
 
 Required by the north_rule; the reference version at /root/reference

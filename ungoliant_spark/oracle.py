@@ -196,6 +196,13 @@ def scrub(text: str) -> str:
         # no boundary before the 1 in either). The DuckDB oracle (RE2)
         # has an ASCII \b instead — test_heuristics_parity pins both
         # the shared three-way domain and the known \b divergences.
+        # the textual \d→[0-9] rewrite is only valid OUTSIDE character
+        # classes ([\d.] would corrupt to [[0-9].]); fail loudly if a
+        # future SCRUB_CHAIN edit introduces one (ADVICE r7)
+        assert not re.search(r"\[[^\]]*\\d", pattern), (
+            f"scrub twin cannot rewrite \\d inside a character class: "
+            f"{pattern!r}"
+        )
         text = re.sub(pattern.replace(r"\d", "[0-9]"), token, text)
     return text
 

@@ -91,6 +91,10 @@ def _apply_rate_gate(df: DataFrame) -> DataFrame:
     )
 
     _, _, _, ok = rate_columns(MIN_TPS, MAX_TPS)
+    # null dur_ms (or 0 → null division) must gate to False, not
+    # propagate NULL into the keep decision — same convention as the
+    # audio gate's coalesce (ADVICE r7)
+    ok = F.coalesce(ok, F.lit(False))
     return df.withColumn("rate_ok", ok).withColumn(
         "quality_warnings",
         F.when(

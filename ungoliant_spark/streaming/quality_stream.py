@@ -393,9 +393,15 @@ def stream_audio_dedup(
     deduped = (
         fingerprinted.withColumn(
             "afp_key",
+            # provably-negative surrogate for undecodable clips:
+            # shiftrightunsigned halves the hash into [0, 2^63), so
+            # the negation cannot overflow — -abs(xxhash64) - 1
+            # wrapped to Long.MAX_VALUE when xxhash64 returned
+            # Long.MIN_VALUE (abs(MIN) stays negative), landing inside
+            # the real non-negative afp key space (ADVICE r7)
             F.coalesce(
                 F.col("afp"),
-                -F.abs(F.xxhash64("clip_id")) - F.lit(1),
+                -F.shiftrightunsigned(F.xxhash64("clip_id"), 1) - F.lit(1),
             ),
         )
         .withWatermark(ts_col, watermark_delay)
