@@ -172,10 +172,108 @@ class ArpaModel:
             memo[ngram] = out
         return out
 
+    def _fast_tables(self):
+        """Int-packed lookup tables for the order-3 scoring hot path
+        (r8): the same (lp, bow) floats keyed by packed vocab ids
+        instead of tuples of strings — tuple construction + string-
+        tuple hashing was ~60% of perplexity() wall (measured 5.3 s /
+        5k docs single-core). Key representation only; every float and
+        every addition is unchanged, so scores are bit-identical to
+        :meth:`logprob` (gated by the frozen-pin + hypothesis twins
+        and an exhaustive fixture-equality check)."""
+        fast = self.__dict__.get("_fast")
+        if fast is not None:
+            return fast
+        vocab: dict[str, int] = {}
+        for (w,) in self.model[1]:
+            vocab[w] = len(vocab)
+        nv = len(vocab)
+        uni_lp = [0.0] * nv
+        uni_bow = [0.0] * nv
+        for (w,), (lp, bow) in self.model[1].items():
+            i = vocab[w]
+            uni_lp[i] = lp
+            uni_bow[i] = bow if bow is not None else 0.0
+        big: dict[int, tuple[float, float]] = {}
+        for ng, (lp, bow) in self.model.get(2, {}).items():
+            a, b = vocab.get(ng[0]), vocab.get(ng[1])
+            if a is None or b is None:
+                continue  # scored tokens are always vocab words
+            big[a * nv + b] = (lp, bow if bow is not None else 0.0)
+        tri: dict[int, float] = {}
+        for ng, (lp, _) in self.model.get(3, {}).items():
+            a, b, c = vocab.get(ng[0]), vocab.get(ng[1]), vocab.get(ng[2])
+            if a is None or b is None or c is None:
+                continue
+            tri[(a * nv + b) * nv + c] = lp
+        fast = (vocab, nv, uni_lp, uni_bow, big, tri, {}, {})
+        self.__dict__["_fast"] = fast
+        return fast
+
     def perplexity(self, text: str) -> float:
         """KenLM-style whole-string perplexity; the reference feeds
         content with newlines replaced by spaces
         (adult_content.rs:56-60)."""
+        if self.order != 3:
+            return self._perplexity_generic(text)
+        (
+            vocab,
+            nv,
+            uni_lp,
+            uni_bow,
+            big,
+            tri,
+            memo3,
+            memo2,
+        ) = self._fast_tables()
+        unk = vocab[UNK]
+        vget = vocab.get
+        ids = [vget(w, unk) for w in text.split()]
+        seq = [vocab[BOS]] + ids + [vocab[EOS]]
+        total = 0.0
+        scored = len(seq) - 1
+        if scored == 0:
+            return float("inf")
+        bget, tget = big.get, tri.get
+        m3get, m2get = memo3.get, memo2.get
+
+        def lp2(k2: int) -> float:
+            # bigram logprob with unigram backoff — the n=2 branch of
+            # :meth:`logprob`, identical floats in identical order
+            out = m2get(k2)
+            if out is not None:
+                return out
+            e = bget(k2)
+            if e is not None:
+                out = e[0]
+            else:
+                out = uni_bow[k2 // nv] + uni_lp[k2 % nv]
+            memo2[k2] = out
+            return out
+
+        # position 1 scores the (BOS, w1) bigram; positions 2.. score
+        # trigrams — exactly logprob(seq[max(0, i-2) : i+1])
+        a, b = seq[0], seq[1]
+        total += lp2(a * nv + b)
+        for i in range(2, len(seq)):
+            c = seq[i]
+            k3 = (a * nv + b) * nv + c
+            out = m3get(k3)
+            if out is None:
+                out = tget(k3)
+                if out is None:
+                    e = bget(a * nv + b)
+                    bow = e[1] if e is not None else 0.0
+                    out = bow + lp2(b * nv + c)
+                memo3[k3] = out
+            total += out
+            a, b = b, c
+        return 10.0 ** (-total / scored)
+
+    def _perplexity_generic(self, text: str) -> float:
+        """Tuple-keyed scoring loop for non-order-3 models (the shape
+        perplexity() had before the r8 fast path; logprob() is the
+        same recursive scorer either way)."""
         words = [
             w if (w,) in self.model[1] else UNK for w in text.split()
         ]

@@ -159,43 +159,157 @@ class LidModel:
             for i in missing:
                 V[i], C[i] = self._token_vec(tokens[i])
             return V, C
+        prime = np.uint64(int(_FNV_PRIME))
+        mask = np.uint64(0xFFFFFFFF)
+        # three lanes (r8): ASCII tokens get fully-vectorized ngram
+        # hashing (no per-ngram byte objects at all — the slicing loop
+        # was ~45% of this function); non-ASCII tokens keep the
+        # per-ngram-encode path (char ngrams span multi-byte UTF-8, so
+        # the fixed-offset column scan below does not apply); >62-byte
+        # tokens take the scalar fallback
+        asc: list[int] = []
         feats: list[bytes] = []
-        spans: list[tuple[int, int, int]] = []  # (token index, start, end)
+        spans_na: list[tuple[int, int, int]] = []  # (tok idx, start, end)
         slow: list[int] = []
         ap = feats.append
         for i in missing:
             tok = tokens[i]
             w = f"<{tok}>"
+            if w.isascii():
+                if len(tok) > 62:  # only the token itself can exceed
+                    slow.append(i)  # the cap: char-ngrams are ≤ 4 chars
+                else:
+                    asc.append(i)
+                continue
             tok_b = tok.encode("utf-8")
-            if len(tok_b) > 62:  # only the token itself can exceed the
-                slow.append(i)   # cap: char-ngrams are ≤ 4 chars ≤ 16 B
+            if len(tok_b) > 62:
+                slow.append(i)
                 continue
             s = len(feats)
             ap(tok_b)
-            if w.isascii():
-                # ASCII fast path: char slicing == byte slicing, so
-                # slice the encoded bytes instead of encoding 15+
-                # ngram substrings per token
-                w_b = w.encode("utf-8")
-                lw = len(w_b)
-                for n in range(MINN, MAXN + 1):
-                    for j in range(lw - n + 1):
-                        ap(w_b[j : j + n])
-            else:
-                for n in range(MINN, MAXN + 1):
-                    for j in range(len(w) - n + 1):
-                        ap(w[j : j + n].encode("utf-8"))
-            spans.append((i, s, len(feats)))
+            for n in range(MINN, MAXN + 1):
+                for j in range(len(w) - n + 1):
+                    ap(w[j : j + n].encode("utf-8"))
+            spans_na.append((i, s, len(feats)))
         for i in slow:
             V[i], C[i] = self._token_vec(tokens[i])
+
+        id_blocks: list[np.ndarray] = []
+        owners: list[tuple[int, int, int]] = []  # (tok idx, start, end)
+        base0 = 0
+        wbs_all = [
+            (i, b"<" + tokens[i].encode("utf-8") + b">") for i in asc
+        ]
+        # width-bucketed column scan (r8): tokens are padded to their
+        # BUCKET's max length, not the global 64-byte cap — the scan
+        # is O(rows × width) per pass, and one 60-byte token would
+        # otherwise make every 6-byte token pay 64 lanes (~85% waste
+        # at the observed token-length distribution)
+        for _lo, _hi in ((0, 8), (8, 16), (16, 32), (32, 64)):
+            grp = [(i, wb) for i, wb in wbs_all if _lo < len(wb) <= _hi]
+            if not grp:
+                continue
+            asc_g = [i for i, _ in grp]
+            # padded byte matrix of the '<tok>' forms: ONE concat +
+            # vectorized scatter (same machinery as the feature matrix
+            # below, but over ~15× fewer rows — one per token)
+            wbs = [wb for _, wb in grp]
+            lens = np.fromiter(
+                (len(b) for b in wbs), dtype=np.int64, count=len(wbs)
+            )
+            width = int(lens.max())
+            flat = np.frombuffer(b"".join(wbs), dtype=np.uint8)
+            starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            within = np.arange(len(flat), dtype=np.int64) - np.repeat(
+                starts, lens
+            )
+            rowbase = np.repeat(
+                np.arange(len(wbs), dtype=np.int64) * width, lens
+            )
+            mat = np.zeros(len(wbs) * width, dtype=np.uint8)
+            mat[rowbase + within] = flat
+            mat = mat.reshape(len(wbs), width)
+            # incremental FNV-1a column scan: after d+1 XOR-multiply
+            # steps, H[t, j] holds the hash of bytes j..j+d — i.e. ALL
+            # n-grams of every token hash in MAXN vector passes. For
+            # ASCII, char slicing == byte slicing, so these are exactly
+            # the fnv1a(w[j:j+n]) values of the scalar path. Positions
+            # with j+n > len are garbage (padding mixed in) and are
+            # simply never gathered.
+            H = np.full((len(wbs), width), int(_FNV_BASIS), dtype=np.uint64)
+            grams: dict[int, np.ndarray] = {}
+            for d in range(MAXN):
+                if width - d <= 0:
+                    grams[d + 1] = np.empty((len(wbs), 0), dtype=np.uint64)
+                    continue
+                sub = H[:, : width - d]
+                sub ^= mat[:, d:]
+                sub *= prime
+                sub &= mask
+                if MINN <= d + 1:
+                    grams[d + 1] = H[:, : width - d].copy()
+            # token-only hash (no angle brackets): FNV over byte
+            # columns 1..len-2, length-DESC-sorted so each step works a
+            # contiguous prefix slice
+            tok_lens = lens - 2
+            order = np.argsort(-tok_lens, kind="stable")
+            mat_s = mat[order]
+            tl_s = tok_lens[order]
+            ht = np.full(len(wbs), int(_FNV_BASIS), dtype=np.uint64)
+            for pos in range(int(tl_s[0]) if len(tl_s) else 0):
+                k = int(np.searchsorted(-tl_s, -(pos + 1), side="right"))
+                if k == 0:
+                    break
+                hk = ht[:k]
+                hk ^= mat_s[:k, 1 + pos]
+                hk *= prime
+                hk &= mask
+            tok_hash = np.empty_like(ht)
+            tok_hash[order] = ht
+            # assemble the flat id array in the scalar path's exact
+            # order per token: [tok, n=2 j asc, n=3 j asc, n=4 j asc]
+            cnts = {
+                n: np.maximum(lens - n + 1, 0) for n in range(MINN, MAXN + 1)
+            }
+            tot = np.ones(len(wbs), dtype=np.int64)
+            for n in range(MINN, MAXN + 1):
+                tot += cnts[n]
+            off = np.concatenate(([0], np.cumsum(tot)))
+            ids_a = np.empty(int(off[-1]), dtype=np.uint64)
+            ids_a[off[:-1]] = tok_hash
+            base = off[:-1] + 1
+            for n in range(MINN, MAXN + 1):
+                c = cnts[n]
+                nz = int(c.sum())
+                if nz:
+                    wg = np.arange(nz, dtype=np.int64) - np.repeat(
+                        np.concatenate(([0], np.cumsum(c)))[:-1], c
+                    )
+                    dst = np.repeat(base, c) + wg
+                    stride = grams[n].shape[1]
+                    src = (
+                        np.repeat(
+                            np.arange(len(wbs), dtype=np.int64) * stride, c
+                        )
+                        + wg
+                    )
+                    ids_a[dst] = grams[n].ravel()[src]
+                base = base + c
+            id_blocks.append(
+                (ids_a % np.uint64(self.buckets)).astype(np.int64)
+            )
+            for t, i in enumerate(asc_g):
+                owners.append((i, base0 + int(off[t]), base0 + int(off[t + 1])))
+            base0 += int(off[-1])
         if feats:
             lens = np.fromiter(
                 (len(b) for b in feats), dtype=np.int64, count=len(feats)
             )
             width = int(lens.max())
-            # build the padded byte matrix with ONE unpadded concat +
-            # a vectorized scatter (no per-feature padding/assignment:
-            # 5M+ features per 20k docs)
+            # padded byte matrix over the per-ngram features (concat +
+            # scatter), FNV over length-DESC-sorted rows: at byte
+            # position p only the first k_p rows are still active, so
+            # each step works a contiguous prefix slice
             flat = np.frombuffer(b"".join(feats), dtype=np.uint8)
             starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
             within = np.arange(len(flat), dtype=np.int64) - np.repeat(
@@ -207,17 +321,10 @@ class LidModel:
             mat = np.zeros(len(feats) * width, dtype=np.uint8)
             mat[rowbase + within] = flat
             mat = mat.reshape(len(feats), width)
-            # FNV-1a over length-DESC-sorted rows: at byte position p
-            # only the first k_p rows are still active, so each step
-            # works a contiguous prefix slice instead of a full-width
-            # masked array (features average ~5 bytes; full-width
-            # iteration would waste ~90% of the lanes)
             order = np.argsort(-lens, kind="stable")
             mat_s = mat[order]
             lens_s = lens[order]
             h = np.full(len(feats), int(_FNV_BASIS), dtype=np.uint64)
-            prime = np.uint64(int(_FNV_PRIME))
-            mask = np.uint64(0xFFFFFFFF)
             for pos in range(width):
                 k = int(np.searchsorted(-lens_s, -(pos + 1), side="right"))
                 if k == 0:
@@ -229,8 +336,36 @@ class LidModel:
             ids_s = (h % np.uint64(self.buckets)).astype(np.int64)
             ids = np.empty_like(ids_s)
             ids[order] = ids_s
-            for i, s, e in spans:
-                vec = self.E[ids[s:e]].sum(axis=0, dtype=np.float64)
+            id_blocks.append(ids)
+            for i, s, e in spans_na:
+                owners.append((i, base0 + s, base0 + e))
+            base0 += len(ids)
+        if owners:
+            # ONE embedding gather + segment-sum for every freshly
+            # hashed token (r8): np.add.reduceat over contiguous spans
+            # accumulates each segment row-sequentially in float64 —
+            # verified bit-identical to the per-token
+            # E[ids].sum(axis=0, dtype=float64) calls it replaces
+            # (axis-0 2-D reduction is also row-sequential; 20k random
+            # segments incl. >128-row ones: zero mismatches). The
+            # gather reads a once-cast float64 copy of E: f32→f64 is
+            # exact, and reduceat with a dtype= override falls into
+            # numpy's buffered-casting path (measured 5× slower)
+            all_ids = (
+                id_blocks[0]
+                if len(id_blocks) == 1
+                else np.concatenate(id_blocks)
+            )
+            seg_starts = np.fromiter(
+                (s for _, s, _ in owners), dtype=np.int64, count=len(owners)
+            )
+            E64 = self.__dict__.get("_E64")
+            if E64 is None:
+                E64 = self.E.astype(np.float64)
+                self.__dict__["_E64"] = E64
+            sums = np.add.reduceat(E64[all_ids], seg_starts, axis=0)
+            for t, (i, s, e) in enumerate(owners):
+                vec = sums[t]
                 V[i] = vec
                 C[i] = e - s
                 if len(cache) < 2_000_000:
