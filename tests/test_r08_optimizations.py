@@ -9,7 +9,9 @@ from __future__ import annotations
 
 import collections
 import random
+import string
 
+import numpy as np
 from pyspark.sql import functions as F
 
 from ungoliant_spark.operators import dedup as dd
@@ -85,6 +87,101 @@ def test_components_on_path_graph(spark):
     nodes = spark.range(300).select(F.col("id").alias("doc_id"))
     out = dd.near_dup_components(nodes, pairs)
     assert out.filter(F.col("component_rep") != 0).count() == 0
+
+
+def test_arpa_fast_path_equals_recursive_scorer():
+    """perplexity()'s int-packed order-3 fast path must equal the
+    tuple-keyed recursive scorer (_perplexity_generic → logprob) to
+    the last float bit — key representation is the ONLY thing the r8
+    rewrite changed. Adversarial strings: OOV runs, literal <s>/</s>/
+    <unk> tokens mid-sentence, empty/whitespace-only input, repeated
+    n-grams (memo reuse path)."""
+    from ungoliant_spark.arpa import load_model
+
+    rng = random.Random(11)
+    words = ["the", "a", "dog", "zzq", "<s>", "</s>", "<unk>", "word"]
+    cases = [
+        "",
+        " ",
+        "<s>",
+        "</s> </s>",
+        "<unk> zzz <unk>",
+        "totally unknown tokens only",
+        "the the the the the the",
+    ]
+    cases += [
+        " ".join(rng.choice(words) for _ in range(rng.randint(1, 40)))
+        for _ in range(300)
+    ]
+    for lang in ("en", "fr", "multi"):
+        m = load_model(lang)
+        assert m is not None and m.order == 3
+        for s in cases:
+            fast = m.perplexity(s)
+            slow = m._perplexity_generic(s)
+            assert fast == slow or (fast != fast and slow != slow), (
+                lang,
+                s,
+                fast,
+                slow,
+            )
+
+
+def test_lid_bulk_token_vecs_equal_scalar():
+    """_token_vecs_bulk's r8 vectorized lanes (width-bucketed ASCII
+    ngram scan, reduceat segment sums, non-ASCII per-ngram path,
+    >62-byte scalar fallback) must produce byte-identical (vec, count)
+    to the scalar _token_vec for every token shape, including the
+    bucket boundary lengths."""
+    from ungoliant_spark.lid_model import LidModel
+
+    bulk = LidModel.load()
+    scalar = LidModel.load()
+    rng = random.Random(13)
+    toks = ["a", "ab", "café", "naïve", "日本語",
+            "x" * 62, "x" * 63, "y" * 200]
+    # bucket boundaries: padded widths 8/16/32/64 ↔ token lengths 6/14/30/62
+    for L in (5, 6, 7, 13, 14, 15, 29, 30, 31, 61, 62):
+        toks.append("".join(rng.choice(string.ascii_letters) for _ in range(L)))
+    for _ in range(400):
+        alpha = string.ascii_letters + "äöüßé"
+        toks.append(
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 16)))
+        )
+    toks = list(dict.fromkeys(toks))
+    V, C = bulk._token_vecs_bulk(toks)
+    for i, t in enumerate(toks):
+        vec, cnt = scalar._token_vec(t)
+        assert cnt == C[i], t
+        assert np.array_equal(vec, V[i]), t
+
+
+def test_ann_dimension_guard(spark):
+    """A corpus whose embedding dimension does not match the LSH plane
+    tables must raise loudly instead of silently bucketing on the
+    first DIM components (round-7 verdict "what's wrong" #1); a
+    custom tables= of the right dimension must keep working."""
+    import pytest
+
+    from ungoliant_spark.operators import similarity as sim
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(32)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.limit(3)
+    with pytest.raises(Exception, match="64-dim.*32 dims"):
+        sim.ann_lsh_topk(df, q).collect()
+    tables32 = [
+        [[rng.gauss(0.0, 1.0) for _ in range(32)] for _ in range(4)]
+        for _ in range(4)
+    ]
+    out = sim.ann_lsh_topk(df, q, tables=tables32, n_extra_probes=2)
+    assert out.count() > 0
+    # the corpus-side keying path too
+    with pytest.raises(Exception, match="64-dim.*32 dims"):
+        sim.embedding_near_dup_pairs(df, threshold=0.5).collect()
 
 
 def test_hamming_pairs_filter_first_equals_naive(spark):
