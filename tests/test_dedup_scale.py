@@ -176,12 +176,14 @@ def test_mega_cluster_crawl_scale_completes(spark):
     assert sorted(r["count"] for r in agg) == [n // 2, n // 2]
 
 
-def test_near_dup_components(spark):
+def test_near_dup_components(spark, monkeypatch):
     """Min-label propagation over pair edges: a 4-node path graph
     (needs >1 round to converge — labels travel one hop per round),
     a 2-clique, and singletons; every node maps to its component's
     min id, and a too-small max_iterations raises instead of
-    returning wrong labels."""
+    returning wrong labels. Checked on BOTH paths: the default
+    driver union-find fast path (r8) and the distributed loop
+    (forced by zeroing DRIVER_CC_MAX_EDGES)."""
     nodes = spark.createDataFrame(
         [(i,) for i in range(9)], "doc_id long"
     )
@@ -190,11 +192,19 @@ def test_near_dup_components(spark):
     pairs = spark.createDataFrame(
         [(5, 3), (5, 6), (6, 8), (1, 2)], "id_a long, id_b long"
     )
+    expected = {0: 0, 1: 1, 2: 1, 3: 3, 5: 3, 6: 3, 8: 3, 4: 4, 7: 7}
     got = {
         r["doc_id"]: r["component_rep"]
         for r in dd.near_dup_components(nodes, pairs).collect()
     }
-    assert got == {0: 0, 1: 1, 2: 1, 3: 3, 5: 3, 6: 3, 8: 3, 4: 4, 7: 7}
+    assert got == expected
+    # distributed loop (the >DRIVER_CC_MAX_EDGES crawl-scale path)
+    monkeypatch.setattr(dd, "DRIVER_CC_MAX_EDGES", -1)
+    got_dist = {
+        r["doc_id"]: r["component_rep"]
+        for r in dd.near_dup_components(nodes, pairs).collect()
+    }
+    assert got_dist == expected
     with pytest.raises(RuntimeError, match="did not converge"):
         # label 3 needs 2+ rounds to reach node 8
         dd.near_dup_components(nodes, pairs, max_iterations=1)

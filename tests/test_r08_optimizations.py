@@ -38,11 +38,14 @@ def test_let_binding_is_value_identical(spark):
         assert r["bx"] == r["ix"]
 
 
-def test_components_on_random_graph_match_bfs(spark):
+def test_components_on_random_graph_match_bfs(spark, monkeypatch):
     """near_dup_components (with the r8 reverse-label messages) must
     produce exactly the BFS ground-truth component minima on a random
     graph — the driver fixture's graph is small and band-structured,
-    so this pins the propagation operator on an adversarial shape."""
+    so this pins the propagation operator on an adversarial shape.
+    Forces the DISTRIBUTED loop: the driver union-find fast path
+    would otherwise absorb a graph this small."""
+    monkeypatch.setattr(dd, "DRIVER_CC_MAX_EDGES", -1)
     random.seed(7)
     edges = [
         (random.randrange(2000), random.randrange(2000))
@@ -77,16 +80,84 @@ def test_components_on_random_graph_match_bfs(spark):
     assert all(got[v] == v for v in range(2000) if v not in seen)
 
 
-def test_components_on_path_graph(spark):
+def test_components_on_path_graph(spark, monkeypatch):
     """A 300-node path is the diameter-adversarial case for label
     propagation — must converge (within max_iterations) to one
-    component labeled by the global min."""
+    component labeled by the global min. Forces the distributed
+    loop (the fast path would absorb a 299-edge graph)."""
+    monkeypatch.setattr(dd, "DRIVER_CC_MAX_EDGES", -1)
     pairs = spark.range(299).select(
         F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
     )
     nodes = spark.range(300).select(F.col("id").alias("doc_id"))
     out = dd.near_dup_components(nodes, pairs)
     assert out.filter(F.col("component_rep") != 0).count() == 0
+
+
+def test_driver_cc_fast_path_matches_distributed(spark, monkeypatch):
+    """r8: graphs at or below DRIVER_CC_MAX_EDGES edge rows are solved
+    with a driver-side union-find instead of the propagation loop
+    (the CC analogue of AQE's broadcast-join conversion). The two
+    paths must produce IDENTICAL (id, component_rep) labelings —
+    for long ids and for string ids (Spark's UTF8_BINARY min is
+    byte-order == code-point order == Python's str min). Also pins
+    that the fast path is actually taken below the cap and skipped
+    above it."""
+    random.seed(13)
+    raw = [
+        (random.randrange(500), random.randrange(500)) for _ in range(400)
+    ]
+    raw = [(a, b) for a, b in raw if a != b]
+    cases = [
+        (lambda x: x, "long"),
+        # zero-padded so lexicographic == numeric; plus a non-padded
+        # id set where the two orders DIFFER, the real string case
+        (lambda x: f"c{x:03d}", "string"),
+        (lambda x: f"c{x}", "string"),
+    ]
+    true_orig = dd._driver_components
+    for to_id, typ in cases:
+        pairs = spark.createDataFrame(
+            [(to_id(a), to_id(b)) for a, b in raw],
+            f"id_a {typ}, id_b {typ}",
+        )
+        nodes = spark.createDataFrame(
+            [(to_id(i),) for i in range(500)], f"doc_id {typ}"
+        )
+        calls: list[int] = []
+
+        def counted(edge_iter, _orig=true_orig, _calls=calls):
+            _calls.append(1)
+            return _orig(edge_iter)
+
+        monkeypatch.setattr(dd, "_driver_components", counted)
+        monkeypatch.setattr(dd, "DRIVER_CC_MAX_EDGES", 1_000_000)
+        fast = {
+            r["doc_id"]: r["component_rep"]
+            for r in dd.near_dup_components(nodes, pairs).collect()
+        }
+        assert calls, "fast path not taken below the cap"
+        monkeypatch.setattr(dd, "DRIVER_CC_MAX_EDGES", -1)
+        calls.clear()
+        dist = {
+            r["doc_id"]: r["component_rep"]
+            for r in dd.near_dup_components(nodes, pairs).collect()
+        }
+        assert not calls, "fast path taken above the cap"
+        assert fast == dist
+
+
+def test_driver_cc_empty_edges(spark):
+    """Zero near-dup pairs (a perfectly deduped corpus slice) must
+    yield all-singleton components through the fast path's empty
+    label table."""
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["component_rep"]
+        for r in dd.near_dup_components(nodes, pairs).collect()
+    }
+    assert got == {i: i for i in range(5)}
 
 
 def test_arpa_fast_path_equals_recursive_scorer():

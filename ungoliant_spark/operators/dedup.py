@@ -26,6 +26,7 @@ shape is unchanged.
 from __future__ import annotations
 
 import logging
+import os
 import random
 import threading
 from contextlib import contextmanager
@@ -977,6 +978,102 @@ def simhash63_table(
     )
 
 
+# Driver-local fast path for connected components (r8, guide §2.2/§5):
+# at or below this many EDGE rows the graph is pulled to the driver
+# (Arrow) and solved with union-find instead of running the
+# distributed propagation loop — the CC analogue of AQE converting a
+# shuffle join to a broadcast join when one side turns out small. The
+# propagation loop costs ~3 shuffle barriers + a localCheckpoint + a
+# convergence job PER ROUND of pure scheduling latency even when the
+# touched graph is a few thousand rows (near-dup graphs are tiny
+# relative to the corpus: sf0.1 simhash = 512 edges out of 600k docs).
+# 1M edges ≈ tens of MB collected — bounded driver memory, same
+# discipline as curation.MAX_OFFSET_ROWS. Above the cap the
+# distributed loop runs unchanged (crawl-scale correctness path).
+# Env-overridable for production tuning; consulted at call time so
+# tests can force either path.
+DRIVER_CC_MAX_EDGES = int(
+    os.environ.get("UNGOLIANT_DRIVER_CC_MAX_EDGES", "1000000")
+)
+
+
+def _driver_components(edge_iter) -> dict:
+    """Union-find with path compression over an in-memory edge list;
+    returns {node: component_min} for every edge-touched node. Unions
+    attach the LARGER root under the smaller, so a root is always its
+    component's minimum — the exact fixpoint distributed min-label
+    propagation converges to. Identity across engines holds because
+    Python's int/str ordering matches Spark's numeric and
+    UTF8_BINARY-collation string orderings (UTF-8 byte order ==
+    code-point order), pinned by test_driver_cc_fast_path_matches_
+    distributed."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_iter:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {x: find(x) for x in parent}
+
+
+def _components_via_driver(
+    nodes: DataFrame, edges: DataFrame, id_col: str
+) -> DataFrame:
+    """Label every node with its component minimum via the driver
+    union-find; singletons (edge-untouched nodes) fill in through the
+    same left-join + coalesce as the distributed path. The label
+    table is a local Arrow-built DataFrame, explicitly broadcast."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    pdf = edges.toPandas()
+    labels = _driver_components(
+        zip(pdf["src"].tolist(), pdf["dst"].tolist())
+    )
+    id_type = edges.schema["src"].dataType
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("__cc_label", id_type),
+        ]
+    )
+    spark = nodes.sparkSession
+    if labels:
+        lab_df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    id_col: list(labels.keys()),
+                    "__cc_label": list(labels.values()),
+                }
+            ),
+            schema=schema,
+        )
+    else:
+        lab_df = spark.createDataFrame([], schema=schema)
+    return (
+        nodes.select(F.col(id_col))
+        .join(F.broadcast(lab_df), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("__cc_label", F.col(id_col)).alias("component_rep"),
+        )
+    )
+
+
 def near_dup_components(
     nodes: DataFrame,
     pairs: DataFrame,
@@ -1012,10 +1109,22 @@ def near_dup_components(
     under non-ANSI (CAST → NULL → sum NULL every round; ADVICE r4).
 
     Raises if not converged within ``max_iterations`` (pathological
-    path-graphs only) rather than returning silently-wrong labels."""
+    path-graphs only) rather than returning silently-wrong labels.
+    ``max_iterations`` guards the DISTRIBUTED loop; graphs at or
+    below ``DRIVER_CC_MAX_EDGES`` edge rows take the driver-local
+    union-find fast path (see its comment), which always converges
+    and produces the identical component-minimum labels."""
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).persist()
+    # materialize the persist once and branch on the real edge count
+    # (the distributed path previously materialized it via the labels
+    # checkpoint — same single job, now reused as the size probe)
+    if edges.count() <= DRIVER_CC_MAX_EDGES:
+        try:
+            return _components_via_driver(nodes, edges, id_col)
+        finally:
+            edges.unpersist()
     # propagate ONLY over edge-touched nodes: every other node is its
     # own singleton component and needs no iteration. On a crawl,
     # near-dup edges touch a small fraction of the corpus, so each
